@@ -1,0 +1,24 @@
+"""dp_data_quality_spark — a from-scratch, PySpark-native quality-filter
+engine with the validation contract of DISHDevEx/dp-data-quality.
+
+The reference (at /root/reference) composes per-column driver-side loops
+over PySpark; this engine re-expresses the same contract — 17 validation
+rules, a row-granular quality report, PII detection — as a single wide
+vectorized ``select`` over a DataFrame, plus a langid + perplexity +
+heuristic + scrub quality-filter pipeline for multi-turn transcript
+tables at cluster scale.
+
+Public modules
+--------------
+- ``rules.contract``     — the 17-rule validation contract as Column factories
+- ``functions.scrub``    — PII / toxicity scrubbing (JVM regexp_replace chain)
+- ``functions.langid``   — broadcast char-n-gram language ID (Arrow pandas UDF)
+- ``functions.perplexity`` — broadcast byte-n-gram LM perplexity (Arrow pandas UDF)
+- ``functions.heuristics`` — vectorized quality heuristics (pure Column exprs)
+- ``operators.dedup``    — exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
+- ``operators.similarity`` — brute-force + LSH-bucketed ANN over embeddings
+- ``pipeline``           — end-to-end quality filter with lineage + resume
+- ``synth``              — deterministic distributed transcript synthesis
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,94 @@
+"""Declarative rule configuration — the reference's metadata spreadsheet
+(read_data.py:123-137: XLSX sheet 'DPI-1', header=4) replaced by a plain
+dataclass/JSON config carrying the same information: per-column expected
+type, nullability, length limit, PII flags.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+
+VALID_DATATYPES = {
+    "integer", "float", "double", "long", "short", "numeric",
+    "string", "varchar", "ipv4", "ip", "ipv6", "epoch", "timestamp",
+}
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One metadata row (read_data.py:131-133 columns, normalized)."""
+
+    attribute_name: str
+    data_type: str | None = None          # None or unknown type → datatype check skipped
+    length_total: int | None = None       # Data_Type_Length_Total
+    nullable: bool = True
+    is_pii: bool = False
+    is_pci: bool = False
+    is_cpni: bool = False
+
+    @property
+    def name_upper(self) -> str:
+        return self.attribute_name.upper()
+
+
+@dataclass
+class RulesConfig:
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+    def attribute_names(self) -> list[str]:
+        return [c.attribute_name for c in self.columns]
+
+    def by_datatype(self, data_columns: list[str]) -> dict[str, list[str]]:
+        """Group governed columns by datatype, restricted to columns present
+        in the data (separate_columns_by_datatype, validation_rulebook.py:192-212).
+        Returns upper-cased names like the reference."""
+        data_up = {c.upper() for c in data_columns}
+        out: dict[str, list[str]] = {}
+        for spec in self.columns:
+            if spec.data_type and spec.name_upper in data_up:
+                out.setdefault(spec.data_type, []).append(spec.name_upper)
+        return out
+
+    def spec_for(self, column: str) -> ColumnSpec | None:
+        cu = column.upper()
+        for spec in self.columns:
+            if spec.name_upper == cu:
+                return spec
+        return None
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps([asdict(c) for c in self.columns], indent=2))
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "RulesConfig":
+        raw = json.loads(Path(path).read_text())
+        return cls(columns=[ColumnSpec(**row) for row in raw])
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Thresholds for the quality-filter pipeline (langid + perplexity +
+    heuristics + scrub) — the north-rule stack layered on the contract."""
+
+    expected_langs: tuple[str, ...] = ("en",)
+    lang_conf_min: float = 0.60
+    # Calibrated on the hermetic byte-4-gram LM: in-domain English scores
+    # ~4e3, repetitive text ~1e4, foreign text ~6e4, symbol soup ~7e4.
+    ppl_max: float = 30000.0
+    min_chars: int = 3
+    max_chars: int = 20000
+    max_repetition_ratio: float = 0.60   # 1 - distinct_words/words
+    max_symbol_ratio: float = 0.30       # non-alnum-nonspace chars / chars
+    min_words: int = 1
+    boilerplate_prefixes: tuple[str, ...] = (
+        "click here to unsubscribe",
+        "terms and conditions apply",
+        "all rights reserved",
+        "lorem ipsum dolor",
+    )
+    scrub_pii: bool = True
+    toxicity_lexicon: tuple[str, ...] = (
+        "frakking", "dagnabbit", "gorram", "smeghead",  # synthetic lexicon
+    )

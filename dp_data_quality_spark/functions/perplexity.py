@@ -1,0 +1,87 @@
+"""KenLM-style n-gram perplexity, hermetic and broadcast.
+
+A byte 4-gram language model trained deterministically at import on the
+synthetic English corpus (hashed into 2¹⁶ buckets with add-alpha
+smoothing, the same scheme a hashed KenLM-lite would use).  Per turn:
+
+    ppl = exp(-mean log P(4-gram))
+
+Fluent in-domain text scores low; gibberish / symbol soup / foreign text
+scores high.  Scoring shares the vectorized NUL-concatenated-buffer path
+with langid (functions/ngram.py) — Arrow batches in, numpy all the way
+down, zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..synth import LANG_VOCAB
+from . import ngram
+
+NGRAM = 4
+_ALPHA = 0.1
+PPL_UNSCORABLE = 1e9  # texts shorter than one n-gram
+
+
+def _train_table() -> np.ndarray:
+    """(N_BUCKETS,) float32 log P(bucket) for English."""
+    words = LANG_VOCAB["en"]
+    corpus = " ".join(words) + ". " + " ".join(reversed(words)) + "."
+    buf = np.frombuffer(corpus.encode("utf-8"), dtype=np.uint8)
+    idx = ngram.hash_ngrams(buf, NGRAM)
+    counts = np.bincount(idx, minlength=ngram.N_BUCKETS).astype(np.float64)
+    probs = (counts + _ALPHA) / (counts.sum() + _ALPHA * ngram.N_BUCKETS)
+    return np.log(probs).astype(np.float32)
+
+
+_TABLE = _train_table()
+
+
+def ppl_batch(texts: pd.Series, table: np.ndarray) -> pd.Series:
+    buf, offsets, lengths = ngram.encode_batch(texts.tolist())
+    sums, counts = ngram.rowwise_ngram_stats(buf, offsets, NGRAM, table)
+    ppl = np.full(len(offsets), PPL_UNSCORABLE, dtype=np.float64)
+    scorable = counts > 0
+    ppl[scorable] = np.exp(-sums[scorable] / counts[scorable])
+    return pd.Series(ppl)
+
+
+def make_ppl_udf(spark: SparkSession):
+    bc = spark.sparkContext.broadcast(_TABLE)
+
+    @F.pandas_udf(T.DoubleType())
+    def ppl_udf(texts: pd.Series) -> pd.Series:
+        return ppl_batch(texts, bc.value)
+
+    return ppl_udf
+
+
+# --- fused scorer: one Arrow transfer for langid + perplexity -------------
+_FUSED_TYPE = T.StructType([
+    T.StructField("lang", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+    T.StructField("ppl", T.DoubleType()),
+])
+
+
+def make_scorer_udf(spark: SparkSession):
+    """Single pandas UDF returning struct<lang, lang_conf, ppl> — the text
+    column crosses the JVM↔Arrow boundary exactly once per batch."""
+    from .langid import _TABLE as LANG_TABLE
+    from .langid import score_batch
+
+    bc_lang = spark.sparkContext.broadcast(LANG_TABLE)
+    bc_ppl = spark.sparkContext.broadcast(_TABLE)
+
+    @F.pandas_udf(_FUSED_TYPE)
+    def scorer_udf(texts: pd.Series) -> pd.DataFrame:
+        out = score_batch(texts, bc_lang.value)
+        out["ppl"] = ppl_batch(texts, bc_ppl.value)
+        return out
+
+    return scorer_udf

@@ -1,0 +1,63 @@
+"""PII / toxicity scrubbing — a deterministic, ordered ``regexp_replace``
+chain, entirely JVM-side (whole-stage codegen, zero Python in the path).
+
+The reference only DETECTS full-cell phone/email PII
+(validation_rulebook.py:150-179); per the north rule this engine also
+REDACTS in place: emails → phones → SSNs → IPv4s → toxicity lexicon.
+Order matters (an email must be scrubbed before the phone pattern could
+eat its digits; SSN before phone would misfire) and is pinned by golden
+tests so scrubbed output is byte-identical run-to-run.
+
+One regex engine end-to-end (Java) — patterns are chosen to also be
+RE2-compatible so the DuckDB correctness oracle can reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..rules import regexes as rx
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+SSN_TOKEN = "<SSN>"
+IP_TOKEN = "<IP>"
+TOX_TOKEN = "<TOX>"
+
+# Scrub order is part of the contract-like determinism guarantee.
+SCRUB_STEPS: tuple[tuple[str, str], ...] = (
+    (rx.SCRUB_EMAIL, EMAIL_TOKEN),
+    (rx.SCRUB_SSN, SSN_TOKEN),       # SSN before phone: both match ddd-dd-dddd-ish shapes
+    (rx.SCRUB_PHONE, PHONE_TOKEN),
+    (rx.SCRUB_IPV4, IP_TOKEN),
+)
+
+
+def toxicity_pattern(lexicon: tuple[str, ...]) -> str:
+    """Case-insensitive whole-word alternation over the lexicon."""
+    import re as _re
+
+    words = "|".join(_re.escape(w) for w in lexicon)
+    return rf"(?i)\b({words})\b"
+
+
+def scrub_text(c: Column, lexicon: tuple[str, ...] = ()) -> Column:
+    """Apply the ordered scrub chain to a string column."""
+    out = c
+    for pattern, token in SCRUB_STEPS:
+        out = F.regexp_replace(out, pattern, token)
+    if lexicon:
+        out = F.regexp_replace(out, toxicity_pattern(lexicon), TOX_TOKEN)
+    return out
+
+
+def pii_hit_flags(c: Column) -> dict[str, Column]:
+    """Per-category hit booleans (for lineage counts), same patterns as the
+    scrub chain — computed on the ORIGINAL text."""
+    return {
+        "pii_email": c.rlike(rx.SCRUB_EMAIL),
+        "pii_ssn": c.rlike(rx.SCRUB_SSN),
+        "pii_phone": c.rlike(rx.SCRUB_PHONE),
+        "pii_ip": c.rlike(rx.SCRUB_IPV4),
+    }

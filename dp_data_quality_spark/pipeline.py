@@ -1,0 +1,213 @@
+"""End-to-end quality-filter pipeline over transcript tables.
+
+One wide ``select`` computes EVERYTHING per turn — contract-derived
+checks, heuristics (pure Column exprs), langid + perplexity (one fused
+Arrow pandas UDF, one text transfer), scrubbed text, drop reasons — so
+the source is scanned exactly once (vs the reference's O(columns×rules)
+jobs, quality_report.py:143-145,265-271).
+
+Scale design:
+- conversations are hash-bucketed (``pmod(xxhash64(conv_id), n_buckets)``)
+  — the resume/commit unit and the write partition; scoring itself is
+  narrow (no shuffle), so mega-thread skew only bounds local sort work.
+- stable output ordering via ``sortWithinPartitions(conv_id, turn_idx)``
+  — deterministic files, no global window (the reference's single-task
+  ROW_ID shuffle, validation_rulebook.py:102-103, is gone).
+- checkpoint-resume: each completed bucket appends a lineage row to the
+  metrics table; a rerun anti-joins completed buckets (broadcast — the
+  bucket list is tiny) and dynamic partition overwrite keeps data writes
+  idempotent if a run dies between data and metrics commits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .config import FilterConfig
+from .functions import heuristics as H
+from .functions.perplexity import make_scorer_udf
+from .functions.scrub import scrub_text
+
+METRICS_SCHEMA = T.StructType([
+    T.StructField("partition_key", T.StringType()),
+    T.StructField("snapshot_id", T.StringType()),
+    T.StructField("rows_in", T.LongType()),
+    T.StructField("rows_kept", T.LongType()),
+    T.StructField("rows_dropped", T.LongType()),
+    T.StructField("rule_hits", T.MapType(T.StringType(), T.LongType())),
+    T.StructField("status", T.StringType()),
+    T.StructField("run_id", T.StringType()),
+    T.StructField("completed_at", T.TimestampType()),
+])
+
+NULL_REASON = "null_text"
+LANG_REASON = "lang_mismatch"
+PPL_REASON = "high_perplexity"
+
+
+def score_turns(
+    df: DataFrame,
+    spark: SparkSession,
+    cfg: FilterConfig | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Add lang, lang_conf, ppl, heuristic columns, drop_reasons, keep and
+    scrubbed_text in a single pass."""
+    cfg = cfg or FilterConfig()
+    scorer = make_scorer_udf(spark)
+
+    df = H.add_heuristic_columns(df, text_col, cfg)
+    df = df.withColumn("__score", scorer(F.col(text_col))).select(
+        "*",
+        F.col("__score.lang").alias("lang"),
+        F.col("__score.lang_conf").alias("lang_conf"),
+        F.col("__score.ppl").alias("ppl"),
+    ).drop("__score")
+
+    text = F.col(text_col)
+    lang_ok = F.col("lang").isin(*cfg.expected_langs) & (
+        F.col("lang_conf") >= cfg.lang_conf_min
+    )
+    reason_exprs = [
+        F.when(text.isNull(), F.lit(NULL_REASON)),
+        F.when(text.isNotNull() & ~lang_ok, F.lit(LANG_REASON)),
+        F.when(text.isNotNull() & (F.col("ppl") > cfg.ppl_max), F.lit(PPL_REASON)),
+    ]
+    for reason, fail in H.heuristic_drop_reasons(cfg):
+        reason_exprs.append(F.when(text.isNotNull() & fail, F.lit(reason)))
+
+    df = df.withColumn("drop_reasons", F.array_compact(F.array(*reason_exprs)))
+    df = df.withColumn("keep", F.size("drop_reasons") == 0)
+    scrubbed = scrub_text(text, cfg.toxicity_lexicon if cfg.scrub_pii else ())
+    df = df.withColumn("scrubbed_text", F.when(F.col("keep"), scrubbed))
+    return df
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def snapshot_fingerprint(df: DataFrame, explicit: str | None = None) -> str:
+    """Stand-in for an Iceberg snapshot ID: stable hash of the input file
+    list (empty for in-memory inputs)."""
+    if explicit:
+        return explicit
+    files = sorted(df.inputFiles())
+    return hashlib.md5("\n".join(files).encode()).hexdigest()[:16]
+
+
+@dataclass
+class PipelineResult:
+    kept_path: str
+    metrics_path: str
+    buckets_processed: int
+    buckets_skipped: int
+
+
+def read_completed_buckets(spark: SparkSession, metrics_path: str) -> DataFrame | None:
+    try:
+        m = spark.read.parquet(metrics_path)
+    except Exception:
+        return None
+    return (
+        m.filter(F.col("status") == "completed")
+        .select(F.col("partition_key").cast("int").alias("bucket"))
+        .distinct()
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_df: DataFrame,
+    output_dir: str,
+    cfg: FilterConfig | None = None,
+    n_buckets: int = 32,
+    run_id: str = "run-0",
+    resume: bool = True,
+    snapshot_id: str | None = None,
+) -> PipelineResult:
+    """Score + filter + scrub ``input_df`` (input_hint schema), writing:
+
+    - ``{output_dir}/filtered``  — kept turns with scrubbed_text, partitioned
+      by bucket, sorted by (conv_id, turn_idx) within partitions
+    - ``{output_dir}/metrics``   — one lineage row per completed bucket
+    """
+    cfg = cfg or FilterConfig()
+    out = Path(output_dir)
+    kept_path = str(out / "filtered")
+    metrics_path = str(out / "metrics")
+    snap = snapshot_fingerprint(input_df, snapshot_id)
+
+    df = with_bucket(input_df, n_buckets)
+
+    skipped = 0
+    if resume:
+        done = read_completed_buckets(spark, metrics_path)
+        if done is not None:
+            skipped = done.count()
+            if skipped:
+                df = df.join(F.broadcast(done), on="bucket", how="left_anti")
+
+    scored = score_turns(df, spark, cfg)
+    scored = scored.persist()
+    try:
+        rows_in = scored.count()  # materialize once; also tells us if anything to do
+        if rows_in == 0:
+            return PipelineResult(kept_path, metrics_path, 0, skipped)
+
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        kept_cols = ["bucket", "conv_id", "turn_idx", "role", "tool", "ts",
+                     "lang", "lang_conf", "ppl", "scrubbed_text"]
+        (
+            scored.filter("keep")
+            .select(*kept_cols)
+            .repartition("bucket")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(kept_path)
+        )
+
+        # lineage: per-bucket counts + per-reason hit map (partial+final agg)
+        base = scored.groupBy("bucket").agg(
+            F.count("*").alias("rows_in"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+        )
+        hits = (
+            scored.select("bucket", F.explode("drop_reasons").alias("reason"))
+            .groupBy("bucket", "reason")
+            .count()
+            .groupBy("bucket")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("reason", "count"))).alias("rule_hits"))
+        )
+        metrics = (
+            base.join(hits, on="bucket", how="left")
+            .select(
+                F.col("bucket").cast("string").alias("partition_key"),
+                F.lit(snap).alias("snapshot_id"),
+                F.col("rows_in"),
+                F.col("rows_kept"),
+                (F.col("rows_in") - F.col("rows_kept")).alias("rows_dropped"),
+                F.coalesce(
+                    "rule_hits",
+                    F.create_map().cast("map<string,bigint>"),
+                ).alias("rule_hits"),
+                F.lit("completed").alias("status"),
+                F.lit(run_id).alias("run_id"),
+                F.current_timestamp().alias("completed_at"),
+            )
+        )
+        buckets = metrics.count()
+        metrics.write.mode("append").parquet(metrics_path)
+        return PipelineResult(kept_path, metrics_path, buckets, skipped)
+    finally:
+        scored.unpersist()

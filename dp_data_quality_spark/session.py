@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the quality-filter workload.
+
+Replaces the reference's ``spark_setup.py`` (Delta/S3A wiring,
+/root/reference/dp_data_quality/spark_setup.py:14-28) with a
+cluster-scale-minded configuration: AQE on (runtime coalesce + skew-join
+splitting), Arrow on (pandas-UDF hot path), UTC session timezone for
+deterministic timestamp semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dp_data_quality_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes nothing and spark-submit supplies the master.
+    ``shuffle_partitions`` defaults to the local core count (not Spark's
+    200) so small-SF local runs don't drown in empty partitions; at
+    cluster scale AQE coalesces anyway.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Contract parity: the reference ran Spark 3 non-ANSI, where a
+        # malformed cast yields NULL and '1.0' casts to int 1 — rule
+        # semantics (validation_rulebook.py:296-298) depend on this.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

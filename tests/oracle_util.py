@@ -1,0 +1,91 @@
+"""Slow, obviously-correct pure-Python oracle for the quality-filter
+pipeline (test-only).  Re-implements the keep/drop decision and the scrub
+chain row-by-row with Python ``re`` — an independent regex engine from
+the JVM hot path — so byte-identical agreement is a real check.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+
+from dp_data_quality_spark.config import FilterConfig
+from dp_data_quality_spark.functions.langid import _TABLE as LANG_TABLE
+from dp_data_quality_spark.functions.langid import score_batch
+from dp_data_quality_spark.functions.perplexity import _TABLE as PPL_TABLE
+from dp_data_quality_spark.functions.perplexity import ppl_batch
+from dp_data_quality_spark.rules import regexes as rx
+
+_SCRUB = [
+    (re.compile(rx.SCRUB_EMAIL), "<EMAIL>"),
+    (re.compile(rx.SCRUB_SSN), "<SSN>"),
+    (re.compile(rx.SCRUB_PHONE), "<PHONE>"),
+    (re.compile(rx.SCRUB_IPV4), "<IP>"),
+]
+
+
+def scrub_oracle(text: str | None, lexicon: tuple[str, ...]) -> str | None:
+    if text is None:
+        return None
+    out = text
+    for pat, token in _SCRUB:
+        out = pat.sub(token, out)
+    if lexicon:
+        tox = re.compile(r"\b(" + "|".join(re.escape(w) for w in lexicon) + r")\b", re.I)
+        out = tox.sub("<TOX>", out)
+    return out
+
+
+def decide_oracle(text: str | None, cfg: FilterConfig) -> tuple[bool, list[str], str | None]:
+    """Return (keep, drop_reasons, scrubbed_text) for one turn."""
+    reasons: list[str] = []
+    if text is None:
+        return False, ["null_text"], None
+
+    lang_df = score_batch(pd.Series([text]), LANG_TABLE)
+    lang, conf = lang_df.lang[0], float(lang_df.lang_conf[0])
+    ppl = float(ppl_batch(pd.Series([text]), PPL_TABLE)[0])
+
+    if not (lang in cfg.expected_langs and conf >= cfg.lang_conf_min):
+        reasons.append("lang_mismatch")
+    if ppl > cfg.ppl_max:
+        reasons.append("high_perplexity")
+
+    n_chars = len(text)
+    words = text.strip().split() if text.strip() else []
+    n_words = len(words)
+    rep = 0.0 if n_words == 0 else 1.0 - len(set(words)) / n_words
+    sym = (
+        0.0
+        if n_chars == 0
+        else sum(1 for ch in text if not (ch.isalnum() or ch.isspace())) / n_chars
+    )
+    boiler = any(
+        re.match(r"\s*" + re.escape(p), text, re.I) for p in cfg.boilerplate_prefixes
+    )
+    if n_chars < cfg.min_chars:
+        reasons.append("too_short")
+    if n_chars > cfg.max_chars:
+        reasons.append("too_long")
+    if n_words < cfg.min_words:
+        reasons.append("too_few_words")
+    if rep > cfg.max_repetition_ratio:
+        reasons.append("high_repetition")
+    if sym > cfg.max_symbol_ratio:
+        reasons.append("high_symbol_ratio")
+    if boiler:
+        reasons.append("boilerplate")
+
+    keep = not reasons
+    scrubbed = scrub_oracle(text, cfg.toxicity_lexicon) if keep else None
+    return keep, reasons, scrubbed
+
+
+def f1(tp: int, fp: int, fn: int) -> float:
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r) if (p + r) else math.nan
