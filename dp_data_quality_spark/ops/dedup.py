@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each variant):
+
+- **Exact** — ``groupBy(content_hash)``: one shuffle on a 32-byte key,
+  map-side partial agg; at 100 TB the hash (not the text) shuffles.
+- **n-gram Jaccard** — the exact baseline: explode distinct word
+  shingles, self-join on shingle, count common. Pairs are generated
+  *only* for docs sharing ≥1 shingle, so the join avoids the full n²
+  cross product but still degrades on very common shingles; use it as
+  the small-scale oracle-of-record and prefer MinHash at scale.
+- **MinHash + LSH** — 16 affine permutations over 32-bit shingle
+  hashes → 4 bands × 4 rows; candidate pairs share a band key, so the
+  shuffle is on band keys (tiny) and the exact-Jaccard verify runs only
+  on candidates. This is the 100 TB path: cost ~ O(n · shingles) +
+  O(candidates), never O(n²).
+- **SimHash** — 60-bit signature (sign of per-bit weight sums over
+  word hashes); near-dup = small Hamming distance. Signature build is
+  a single explode + groupBy; banding over bit-chunks would give the
+  scale path (here pairs are found within LSH-style chunk buckets).
+
+All hashing is md5-derived (ops/hashing.py) so the DuckDB oracle
+reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MINHASH_COEFFS, h32, h60, minhash_perm
+
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 60
+
+
+def normalize_text(c):
+    """lower + trim + collapse runs of whitespace — the canonical form all
+    dedup/fingerprint operators hash."""
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def word_shingles(c, n: int = 3):
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Texts with < n words produce an empty array."""
+    words = F.split(normalize_text(c), " ")
+    k = F.size(words) - (n - 1)
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (content_hash, group_size, keep_id, dup_ids) for groups with
+    more than one member; ``keep_id`` is the smallest id (keep-first, the
+    reference's dropDuplicates semantics, validation_rulebook.py:119-125).
+    """
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(normalize_text(F.col(text_col))).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle explode (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (baseline / verify stage)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with shingle-set Jaccard ≥ threshold.
+
+    Join is on shingle (docs sharing none never pair). At scale, cap
+    ultra-common shingles or switch to minhash_lsh_pairs."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sig_0..sig_15): min of each affine permutation over the
+    doc's shingle hashes. One explode + one groupBy; docs with no
+    shingles are absent (consistently excluded downstream)."""
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    x = h32(F.col("shingle"))
+    aggs = [
+        F.min(minhash_perm(x, a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH then exact-Jaccard verification.
+
+    Band key = (band_idx, 4 signature values) → docs sharing any band
+    key become candidates; only candidates pay the exact-Jaccard verify.
+    The band join shuffles signatures (16 longs/doc), not text."""
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig_{bi * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, on=["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold=0.0)
+    return (
+        candidates.join(exact, on=["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 60-bit signature over distinct words.
+
+    Per word w: 60 bits of h60(w); bit j contributes +1 if set else -1;
+    signature bit j = 1 iff the sum over words is > 0.  Explode words ×
+    bits, one groupBy — fully distributed, no UDFs."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("word"),
+    ).filter(F.length("word") > 0)
+    wh = words.select("doc_id", h60(F.col("word")).alias("wh"))
+    bits = wh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("wh"),
+    ).select(
+        "doc_id",
+        "bit",
+        # Python F.shiftright only takes literal shift amounts; the SQL
+        # function accepts a column.
+        F.when(F.expr("shiftright(wh, bit)").bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation buckets signatures on 4 15-bit chunks (any
+    pair within Hamming ≤ 8 shares at least one exact chunk only
+    probabilistically — for a guarantee at distance d, use d+1 chunks;
+    with 4 chunks the guarantee holds for d ≤ 3, and higher-distance
+    recall is best-effort, which the docstring of the calling query
+    states). The chunk join keeps the shuffle on 15-bit keys."""
+    sigs = simhash(df, id_col, text_col)
+    n_chunks = 4
+    chunk_bits = SIMHASH_BITS // n_chunks
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * chunk_bits)
+                        .bitwiseAND((1 << chunk_bits) - 1)
+                        .alias("key"),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, on=["chunk", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
