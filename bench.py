@@ -1,0 +1,128 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the flagship
+transcript quality-filter pipeline on a deterministic synthetic
+transcript table, then prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "pipeline": {...}}
+
+Query timings force full materialization through the ``noop`` sink (no
+output IO, full compute).  The pipeline is timed end-to-end from a
+staged parquet input (staging excluded — we measure scoring + filtering
++ scrub + write, not synthesis) and reported as turns/sec, the
+BASELINE.json primary metric.
+
+Usage:
+    python bench.py                  # full suite, one JSON line
+    python bench.py --pipeline-only  # just the pipeline (scaling runs)
+    python bench.py --convs 100000   # pipeline input size
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_nations",
+    "customer_order_ranks",
+    "events_hourly",
+    "events_sessionize",
+    "contract_lineitem_types",
+    "scrub_pii",
+    "text_quality_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_bruteforce",
+    "ann_lsh",
+    "multimodal_features",
+]
+
+
+def stage_transcripts(spark, n_convs: int, path: str) -> int:
+    """Materialize the synthetic transcript table to parquet (untimed)."""
+    from dp_data_quality_spark.synth import strip_truth, transcripts
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    df = strip_truth(
+        transcripts(spark, n_convs=n_convs, seed=42, mega_threads=2, mega_turns=20_000)
+    )
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def bench_pipeline(spark, input_path: str, out_dir: str) -> dict:
+    """Timed: read parquet transcripts → full quality-filter pipeline →
+    filtered + metrics tables."""
+    from dp_data_quality_spark.pipeline import run_pipeline
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    df = spark.read.parquet(input_path)
+    t0 = time.time()
+    run_pipeline(spark, df, out_dir, n_buckets=64, resume=False)
+    elapsed = time.time() - t0
+    rows = spark.read.parquet(input_path).count()
+    return {
+        "turns": rows,
+        "sec": round(elapsed, 3),
+        "turns_per_sec": round(rows / elapsed, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--convs", type=int, default=100_000)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from dp_data_quality_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    work = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/spark_graft_bench")
+    in_path = os.path.join(work, f"transcripts_{args.convs}")
+    out_dir = os.path.join(work, "pipeline_out")
+
+    if not os.path.exists(in_path):
+        stage_transcripts(spark, args.convs, in_path)
+    pipe = bench_pipeline(spark, in_path, out_dir)
+
+    queries: dict[str, float] = {}
+    if not args.pipeline_only:
+        qs = E.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(pipe["sec"] + sum(queries.values()), 3)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": pipe,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
