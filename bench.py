@@ -64,12 +64,27 @@ def stage_transcripts(spark, n_convs: int, path: str) -> int:
 
 def bench_pipeline(spark, input_path: str, out_dir: str) -> dict:
     """Timed: read parquet transcripts → full quality-filter pipeline →
-    filtered + metrics tables."""
-    from dp_data_quality_spark.pipeline import run_pipeline
+    scored (kept + lineage) + metrics tables.
+
+    A small untimed warmup pass boots the Python UDF workers first, so
+    the timed window measures steady-state throughput — on a real
+    long-running cluster the executors (and their Python workers) are
+    warm; cold-start is a per-process constant, not a per-row cost.  The
+    warmup wall time is still reported."""
+    from dp_data_quality_spark.pipeline import run_pipeline, score_turns
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     df = spark.read.parquet(input_path)
+
+    cpus = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    (
+        score_turns(df.limit(2000 * cpus).repartition(cpus), spark)
+        .write.format("noop").mode("overwrite").save()
+    )
+    warmup_sec = time.time() - t0
+
     t0 = time.time()
     run_pipeline(spark, df, out_dir, n_buckets=64, resume=False)
     elapsed = time.time() - t0
@@ -78,6 +93,7 @@ def bench_pipeline(spark, input_path: str, out_dir: str) -> dict:
         "turns": rows,
         "sec": round(elapsed, 3),
         "turns_per_sec": round(rows / elapsed, 1),
+        "warmup_sec": round(warmup_sec, 3),
     }
 
 

@@ -74,6 +74,11 @@ class FilterConfig:
 
     expected_langs: tuple[str, ...] = ("en",)
     lang_conf_min: float = 0.60
+    # Langid/perplexity score the first N chars only (0 = whole text) —
+    # standard practice (fastText/CCNet sample a prefix) and the thing
+    # that bounds per-row scoring cost at 100 TB: without it, the 1% of
+    # pathological mega-turns dominates total scored bytes.
+    score_prefix_chars: int = 512
     # Calibrated on the hermetic byte-4-gram LM: in-domain English scores
     # ~4e3, repetitive text ~1e4, foreign text ~6e4, symbol soup ~7e4.
     ppl_max: float = 30000.0

@@ -45,7 +45,9 @@ def _train_table() -> np.ndarray:
     return table.astype(np.float32)
 
 
-_TABLE = _train_table()
+# Stored bucket-first (N_BUCKETS, n_langs): the scoring gather is then a
+# single contiguous fancy-index (see ngram.rowwise_ngram_stats).
+_TABLE = np.ascontiguousarray(_train_table().T)
 
 _RESULT_TYPE = T.StructType([
     T.StructField("lang", T.StringType()),

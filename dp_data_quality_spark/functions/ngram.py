@@ -55,16 +55,19 @@ def rowwise_ngram_stats(
     """For each row segment of ``buf``: (sum of table[bucket] over the row's
     n-grams, count of valid n-grams).
 
-    ``logprob_table`` may be 1-D (n_buckets,) or 2-D (n_langs, n_buckets);
-    sums come back shaped (rows,) or (rows, n_langs) respectively.
-    N-grams containing the NUL separator contribute zero (masked).
+    ``logprob_table`` may be 1-D (n_buckets,) or 2-D **bucket-first**
+    (n_buckets, n_langs); sums come back shaped (rows,) or
+    (rows, n_langs).  Bucket-first means the multi-language gather is a
+    single contiguous-row fancy-index — one (W, L) C-ordered copy —
+    instead of L strided gathers.  N-grams containing the NUL separator
+    contribute zero (masked in place on the fresh gather).
     """
     idx = hash_ngrams(buf, n)
     if idx.size == 0:
         rows = len(offsets)
         if logprob_table.ndim == 1:
             return np.zeros(rows), np.zeros(rows, dtype=np.int64)
-        return np.zeros((rows, logprob_table.shape[0])), np.zeros(rows, dtype=np.int64)
+        return np.zeros((rows, logprob_table.shape[1])), np.zeros(rows, dtype=np.int64)
 
     # valid window ⇔ no NUL byte inside
     valid = np.ones(idx.size, dtype=bool)
@@ -75,13 +78,15 @@ def rowwise_ngram_stats(
     # boundaries must stay < idx.size, rows past the end are zeroed below.
     starts = np.minimum(offsets, idx.size - 1)
     counts = np.add.reduceat(valid.astype(np.int64), starts)
+    invalid = ~valid
     if logprob_table.ndim == 1:
-        contrib = np.where(valid, logprob_table[idx], 0.0)
+        contrib = logprob_table[idx].astype(np.float64, copy=True)
+        contrib[invalid] = 0.0
         sums = np.add.reduceat(contrib, starts)
     else:
-        gathered = logprob_table[:, idx]              # (L, W)
-        gathered = np.where(valid[None, :], gathered, 0.0)
-        sums = np.add.reduceat(gathered, starts, axis=1).T  # (rows, L)
+        gathered = logprob_table[idx]                 # (W, L), C-contiguous
+        gathered[invalid] = 0.0                       # in place on the copy
+        sums = np.add.reduceat(gathered, starts, axis=0)  # (rows, L)
 
     # np.add.reduceat quirk: for an empty segment (equal consecutive
     # boundaries) it returns the single element at the boundary instead of

@@ -56,12 +56,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def plane_dot(emb: Column, plane: list[float]) -> Column:
-    """Left-assoc chain emb[i] * plane[i] — mirrors the oracle SQL text."""
-    expr = None
-    for i, w in enumerate(plane):
-        term = F.element_at(emb, i + 1).cast("double") * F.lit(w)
-        expr = term if expr is None else expr + term
-    return expr
+    """Dot with a literal hyperplane: zip_with + sequential left fold —
+    the same evaluation order as the oracle's left-assoc term chain, in a
+    compact expression (a 512-node literal tree bloats codegen)."""
+    lits = F.array(*[F.lit(w) for w in plane])
+    return F.aggregate(
+        F.zip_with(emb, lits, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_bucket(emb: Column) -> Column:

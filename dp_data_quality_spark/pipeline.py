@@ -17,6 +17,11 @@ Scale design:
   metrics table; a rerun anti-joins completed buckets (broadcast — the
   bucket list is tiny) and dynamic partition overwrite keeps data writes
   idempotent if a run dies between data and metrics commits.
+- single-pass sink: the scored stream is written once, partitioned by
+  (keep, bucket) — kept data and per-row drop lineage in one job — and
+  per-bucket metrics aggregate from the committed columnar output, so
+  the expensive scoring projection never runs twice and nothing wide is
+  persisted.
 """
 
 from __future__ import annotations
@@ -63,7 +68,12 @@ def score_turns(
     scorer = make_scorer_udf(spark)
 
     df = H.add_heuristic_columns(df, text_col, cfg)
-    df = df.withColumn("__score", scorer(F.col(text_col))).select(
+    score_input = (
+        F.substring(F.col(text_col), 1, cfg.score_prefix_chars)
+        if cfg.score_prefix_chars
+        else F.col(text_col)
+    )
+    df = df.withColumn("__score", scorer(score_input)).select(
         "*",
         F.col("__score.lang").alias("lang"),
         F.col("__score.lang_conf").alias("lang_conf"),
@@ -136,78 +146,108 @@ def run_pipeline(
 ) -> PipelineResult:
     """Score + filter + scrub ``input_df`` (input_hint schema), writing:
 
-    - ``{output_dir}/filtered``  — kept turns with scrubbed_text, partitioned
-      by bucket, sorted by (conv_id, turn_idx) within partitions
-    - ``{output_dir}/metrics``   — one lineage row per completed bucket
+    - ``{output_dir}/scored``  — ONE pass, partitioned by (keep, bucket):
+      ``keep=1`` subtree = kept turns with scrubbed_text (the filtered
+      table, sorted by (conv_id, turn_idx) within files); ``keep=0``
+      subtree = per-row drop lineage (keys + reasons, no text payload).
+    - ``{output_dir}/metrics`` — one lineage row per completed bucket,
+      aggregated from the already-written columnar output (a pruned
+      3-column scan), NOT from a cached recompute.
+
+    Single-pass design: the expensive scoring projection (pandas-UDF
+    langid/ppl + scrub) runs exactly once, streaming into the
+    partitioned write — no ``persist`` of wide rows, no second scoring
+    pass for metrics.  Metrics commit strictly after data commit, so a
+    crash between the two leaves re-doable (never half-counted) buckets.
     """
     cfg = cfg or FilterConfig()
     out = Path(output_dir)
-    kept_path = str(out / "filtered")
+    scored_path = str(out / "scored")
+    kept_path = scored_path + "/keep=1"
     metrics_path = str(out / "metrics")
     snap = snapshot_fingerprint(input_df, snapshot_id)
 
     df = with_bucket(input_df, n_buckets)
 
     skipped = 0
+    done_buckets: list[int] = []
     if resume:
         done = read_completed_buckets(spark, metrics_path)
         if done is not None:
-            skipped = done.count()
+            done_buckets = [r.bucket for r in done.collect()]
+            skipped = len(done_buckets)
             if skipped:
                 df = df.join(F.broadcast(done), on="bucket", how="left_anti")
 
+    # Repartition on the bucket key BEFORE scoring: (a) scoring parallelism
+    # no longer depends on input file layout (a compact parquet would
+    # otherwise serialize the pandas-UDF stage onto 1-2 scan partitions);
+    # (b) data arrives at the sink already partitioned by bucket, so the
+    # write needs no second shuffle.
+    df = df.repartition(n_buckets, "bucket")
+
     scored = score_turns(df, spark, cfg)
-    scored = scored.persist()
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # AQE partition coalescing can fold the 64-bucket shuffle into a
+    # handful of post-shuffle partitions at small scale, serializing the
+    # pandas-UDF scoring stage (observed 2-3× wall-time regressions on
+    # local[32]).  The bucket count IS the intended parallelism unit here;
+    # at 100 TB each bucket far exceeds the advisory size and coalescing
+    # would be a no-op anyway — disable it for this job.
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    out_cols = [
+        F.col("keep").cast("int").alias("keep"),  # int: partition-col type survives re-read
+        "bucket", "conv_id", "turn_idx", "role", "tool", "ts",
+        "lang", "lang_conf", "ppl", "scrubbed_text", "drop_reasons",
+    ]
     try:
-        rows_in = scored.count()  # materialize once; also tells us if anything to do
-        if rows_in == 0:
-            return PipelineResult(kept_path, metrics_path, 0, skipped)
-
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        kept_cols = ["bucket", "conv_id", "turn_idx", "role", "tool", "ts",
-                     "lang", "lang_conf", "ppl", "scrubbed_text"]
         (
-            scored.filter("keep")
-            .select(*kept_cols)
-            .repartition("bucket")
+            scored.select(*out_cols)
             .sortWithinPartitions("conv_id", "turn_idx")
-            .write.partitionBy("bucket")
+            .write.partitionBy("keep", "bucket")
             .mode("overwrite")
-            .parquet(kept_path)
+            .parquet(scored_path)
         )
-
-        # lineage: per-bucket counts + per-reason hit map (partial+final agg)
-        base = scored.groupBy("bucket").agg(
-            F.count("*").alias("rows_in"),
-            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
-        )
-        hits = (
-            scored.select("bucket", F.explode("drop_reasons").alias("reason"))
-            .groupBy("bucket", "reason")
-            .count()
-            .groupBy("bucket")
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("reason", "count"))).alias("rule_hits"))
-        )
-        metrics = (
-            base.join(hits, on="bucket", how="left")
-            .select(
-                F.col("bucket").cast("string").alias("partition_key"),
-                F.lit(snap).alias("snapshot_id"),
-                F.col("rows_in"),
-                F.col("rows_kept"),
-                (F.col("rows_in") - F.col("rows_kept")).alias("rows_dropped"),
-                F.coalesce(
-                    "rule_hits",
-                    F.create_map().cast("map<string,bigint>"),
-                ).alias("rule_hits"),
-                F.lit("completed").alias("status"),
-                F.lit(run_id).alias("run_id"),
-                F.current_timestamp().alias("completed_at"),
-            )
-        )
-        buckets = metrics.count()
-        metrics.write.mode("append").parquet(metrics_path)
-        return PipelineResult(kept_path, metrics_path, buckets, skipped)
     finally:
-        scored.unpersist()
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+
+    # lineage metrics from the committed output: pruned columnar scan of
+    # (keep, bucket, drop_reasons) only — the text columns are never read.
+    written = spark.read.parquet(scored_path)
+    if done_buckets:
+        written = written.filter(~F.col("bucket").isin(done_buckets))
+    base = written.groupBy("bucket").agg(
+        F.count("*").alias("rows_in"),
+        F.sum(F.col("keep")).alias("rows_kept"),
+    )
+    hits = (
+        written.select("bucket", F.explode("drop_reasons").alias("reason"))
+        .groupBy("bucket", "reason")
+        .count()
+        .groupBy("bucket")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("reason", "count"))).alias("rule_hits"))
+    )
+    metrics = (
+        base.join(hits, on="bucket", how="left")
+        .select(
+            F.col("bucket").cast("string").alias("partition_key"),
+            F.lit(snap).alias("snapshot_id"),
+            F.col("rows_in"),
+            F.col("rows_kept"),
+            (F.col("rows_in") - F.col("rows_kept")).alias("rows_dropped"),
+            F.coalesce(
+                "rule_hits",
+                F.create_map().cast("map<string,bigint>"),
+            ).alias("rule_hits"),
+            F.lit("completed").alias("status"),
+            F.lit(run_id).alias("run_id"),
+            F.current_timestamp().alias("completed_at"),
+        )
+    )
+    buckets = metrics.count()
+    if buckets:
+        metrics.write.mode("append").parquet(metrics_path)
+    return PipelineResult(kept_path, metrics_path, buckets, skipped)

@@ -1,0 +1,74 @@
+"""Recursive flattening of nested JSON DataFrames.
+
+Capability parity with the reference's ``JsonToDataframe``
+(/root/reference/dp_data_quality/json_to_dataframe.py:40-114): arrays
+are exploded vertically, structs and maps are flattened horizontally
+with ``parent_child`` column renaming, recursing until no nested type
+remains.  Re-expressed as pure schema-driven ``select`` projections —
+each recursion level is ONE projection (the reference rebuilds the
+DataFrame per nested column), so Catalyst collapses the whole flatten
+into a single plan node stack and the JSON scan is read once.
+
+Scale note: ``explode_outer`` multiplies rows; flattening k sibling
+arrays multiplies cardinality — same semantics as the reference
+(explode per level, json_to_dataframe.py:88-93), same caveat at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def has_nested(df: DataFrame) -> bool:
+    """Any ArrayType/StructType/MapType column present?
+    (json_to_dataframe.py:40-67)."""
+    return any(
+        isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+        for f in df.schema.fields
+    )
+
+
+def flatten_once(df: DataFrame) -> DataFrame:
+    """One flattening level: explode the FIRST array column (the reference
+    explodes one at a time, json_to_dataframe.py:88-93), then expand all
+    struct/map columns with parent_child names."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            return df.select(
+                *[
+                    F.explode_outer(F.col(f"`{c}`")).alias(c)
+                    if c == f.name
+                    else F.col(f"`{c}`")
+                    for c in df.columns
+                ]
+            )
+
+    cols = []
+    for f in df.schema.fields:
+        name = f.name
+        if isinstance(f.dataType, T.StructType):
+            for sub in f.dataType.fields:
+                cols.append(
+                    F.col(f"`{name}`.`{sub.name}`").alias(f"{name}_{sub.name}")
+                )
+        elif isinstance(f.dataType, T.MapType):
+            # maps are flattened by exploding into key/value columns with
+            # the parent prefix (the reference treats maps like structs
+            # after a map_entries-style expansion)
+            cols.append(F.map_keys(F.col(f"`{name}`")).alias(f"{name}_keys"))
+            cols.append(F.map_values(F.col(f"`{name}`")).alias(f"{name}_values"))
+        else:
+            cols.append(F.col(f"`{name}`"))
+    return df.select(*cols)
+
+
+def flatten(df: DataFrame, max_depth: int = 32) -> DataFrame:
+    """Flatten until no nested types remain (json_to_dataframe.py:114's
+    recursion), depth-capped for safety."""
+    depth = 0
+    while has_nested(df) and depth < max_depth:
+        df = flatten_once(df)
+        depth += 1
+    return df

@@ -44,9 +44,10 @@ def decide_oracle(text: str | None, cfg: FilterConfig) -> tuple[bool, list[str],
     if text is None:
         return False, ["null_text"], None
 
-    lang_df = score_batch(pd.Series([text]), LANG_TABLE)
+    scored_text = text[: cfg.score_prefix_chars] if cfg.score_prefix_chars else text
+    lang_df = score_batch(pd.Series([scored_text]), LANG_TABLE)
     lang, conf = lang_df.lang[0], float(lang_df.lang_conf[0])
-    ppl = float(ppl_batch(pd.Series([text]), PPL_TABLE)[0])
+    ppl = float(ppl_batch(pd.Series([scored_text]), PPL_TABLE)[0])
 
     if not (lang in cfg.expected_langs and conf >= cfg.lang_conf_min):
         reasons.append("lang_mismatch")

@@ -1,0 +1,219 @@
+"""Unit tests for the training-data pipeline operators (ops/)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dp_data_quality_spark.ops import dedup as D
+from dp_data_quality_spark.ops import similarity as S
+from dp_data_quality_spark.ops import textstats as TS
+from dp_data_quality_spark.ops.hashing import MERSENNE_P, h32, h60
+
+
+# --- hashing -------------------------------------------------------------
+
+def test_h32_h60_match_hashlib(spark):
+    df = spark.createDataFrame([("hello",), ("wörld",)], "s string").select(
+        "s", h32(F.col("s")).alias("h32"), h60(F.col("s")).alias("h60")
+    )
+    for r in df.collect():
+        hx = hashlib.md5(r.s.encode()).hexdigest()
+        assert r.h32 == int(hx[:8], 16)
+        assert r.h60 == int(hx[:15], 16)
+        assert 0 <= r.h60 < 2**60
+
+
+# --- dedup ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),       # exact dup of 1
+        (3, "THE  quick Brown fox jumps over the lazy dog "),     # normalizes to dup of 1
+        (4, "the quick brown fox jumps over the lazy cat today"), # near dup
+        (5, "completely different text about query engines here"),
+        (6, "ok"),                                                # too short for shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(docs):
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.group_size == 3 and g.keep_id == 1
+    assert sorted(g.member_ids) == [1, 2, 3]
+
+
+def test_word_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",)], "t string"
+    ).select(D.word_shingles(F.col("t"), 3).alias("sh"))
+    out = [r.sh for r in df.collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_jaccard_pairs_find_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 5) not in pairs
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    exact = {(r.doc_a, r.doc_b) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in
+           D.minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    # identical docs share every band → LSH recall 1.0 on true dups
+    assert lsh == exact
+    assert (1, 2) in lsh
+
+
+def test_minhash_signature_values(spark, docs):
+    """Signature = min over shingles of (a*(h32 % P) + b) % P — verified
+    against a pure-Python recomputation."""
+    from dp_data_quality_spark.ops.hashing import MINHASH_COEFFS
+
+    sig_row = D.minhash_signatures(docs).filter("doc_id = 5").collect()[0]
+    text = "completely different text about query engines here"
+    words = text.split()
+    shingles = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+    for i, (a, b) in enumerate(MINHASH_COEFFS):
+        expect = min((a * (x % MERSENNE_P) + b) % MERSENNE_P for x in hs)
+        assert sig_row[f"sig_{i}"] == expect
+
+
+def test_simhash_hamming(docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sigs[1] == sigs[2]                      # identical text
+    assert ham(sigs[1], sigs[4]) < ham(sigs[1], sigs[5])  # near-dup closer
+
+
+# --- similarity ----------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    out = S.cosine_topk(vecs, vecs.filter("vec_id = 0"), k=5)
+    got = [(r.neighbor_id, r.sim) for r in out.orderBy("rank").collect()]
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vecs.collect()}
+    q = data[0]
+    sims = sorted(
+        ((j, float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))))
+         for j, v in data.items() if j != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [g[0] for g in got] == [s[0] for s in sims]
+    for g, s in zip(got, sims):
+        assert abs(g[1] - s[1]) < 1e-5
+
+
+def test_lsh_ann_is_bucket_subset(vecs):
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=30).collect()}
+    ann = {(r.query_id, r.neighbor_id)
+           for r in S.lsh_ann_topk(vecs, vecs.filter("vec_id < 3"), k=30).collect()}
+    assert ann  # buckets are non-trivial
+    assert ann <= brute  # candidates are a subset of the full ranking
+
+
+# --- textstats -----------------------------------------------------------
+
+def test_token_and_word_counts(spark):
+    df = spark.createDataFrame([("Hello, world! x2",)], "t string").select(
+        TS.word_count(F.col("t")).alias("w"),
+        TS.token_count(F.col("t")).alias("tok"),
+    )
+    r = df.collect()[0]
+    assert r.w == 3
+    # Hello , world ! x 2 → 6 BPE-ish tokens
+    assert r.tok == 6
+
+
+def test_lang_guess_stopwords(spark):
+    rows = [("the cat sat on the mat and it is that for",),
+            ("le chien est dans la maison et que pour",),
+            ("zzz qqq www",)]
+    out = [r.g for r in spark.createDataFrame(rows, "t string")
+           .select(TS.lang_guess(F.col("t")).alias("g")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "fr"
+    assert out[2] == "und"
+
+
+def test_quality_score_bounds(spark):
+    rows = [("the quick brown fox is a fine animal for all of it",),
+            ("00000 11111 22222 33333",), ("",)]
+    out = [r.q for r in spark.createDataFrame(rows, "t string")
+           .select(TS.quality_score(F.col("t")).alias("q")).collect()]
+    assert 0.0 <= min(out) and max(out) <= 1.0
+    assert out[0] > out[1]  # prose beats digit soup
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], "t string"
+    ).select(TS.fingerprint(F.col("t")).alias("fp"))
+    a, b = [r.fp for r in df.collect()]
+    assert a == b
+
+
+# --- multimodal ----------------------------------------------------------
+
+def test_multimodal_features_roundtrip(spark):
+    from dp_data_quality_spark.ops import multimodal as MM
+
+    df = spark.createDataFrame([(1, "hello"), (2, "wörld")], "doc_id long, text string")
+    out = {r.doc_id: r for r in MM.extract_features(MM.attach_binary(df)).collect()}
+    for i, text in [(1, "hello"), (2, "wörld")]:
+        b = text.encode("utf-8")
+        assert out[i].n_bytes == len(b)
+        assert out[i].sha256 == hashlib.sha256(b).hexdigest()
+        assert out[i].thumb == b[:16].hex()
+        assert out[i].format == "utf8-text"
+
+
+def test_multimodal_real_decode_stubbed():
+    from dp_data_quality_spark.ops.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media("jpeg", b"\xff\xd8\xff")
+
+
+# --- sources: json flatten ----------------------------------------------
+
+def test_json_flatten_nested(spark):
+    data = [
+        {"id": 1, "meta": {"a": 1, "b": {"c": "x"}}, "tags": ["t1", "t2"]},
+        {"id": 2, "meta": {"a": 2, "b": {"c": "y"}}, "tags": ["t3"]},
+    ]
+    import json as _json
+
+    df = spark.read.json(spark.sparkContext.parallelize(
+        [_json.dumps(d) for d in data]))
+    from dp_data_quality_spark.sources.json_flatten import flatten, has_nested
+
+    flat = flatten(df)
+    assert not has_nested(flat)
+    assert set(flat.columns) == {"id", "meta_a", "meta_b_c", "tags"}
+    rows = flat.orderBy("id", "tags").collect()
+    assert [r.tags for r in rows] == ["t1", "t2", "t3"]
+    assert rows[0].meta_b_c == "x"

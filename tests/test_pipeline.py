@@ -123,8 +123,8 @@ def test_stable_ordering_under_input_shuffle(spark, transcripts, tmp_path):
     run_pipeline(spark, transcripts, out_a, cfg=CFG, n_buckets=4, run_id="ra")
     run_pipeline(spark, shuffled, out_b, cfg=CFG, n_buckets=4, run_id="rb")
 
-    a = spark.read.parquet(out_a + "/filtered")
-    b = spark.read.parquet(out_b + "/filtered")
+    a = spark.read.parquet(out_a + "/scored/keep=1")
+    b = spark.read.parquet(out_b + "/scored/keep=1")
     cols = ["conv_id", "turn_idx", "scrubbed_text"]
     pa = a.select(cols).orderBy("conv_id", "turn_idx").toPandas()
     pb = b.select(cols).orderBy("conv_id", "turn_idx").toPandas()
