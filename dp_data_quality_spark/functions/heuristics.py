@@ -39,11 +39,14 @@ def repetition_ratio(words: Column) -> Column:
 
 def symbol_ratio(text: Column) -> Column:
     """Fraction of characters that are neither alphanumeric (incl. unicode
-    letters) nor whitespace; 0 for empty text."""
+    letters) nor whitespace; 0 for empty text.  Counted with
+    ``regexp_count`` — no intermediate string copy (the replace-and-
+    measure formulation allocates a second string per row, which is pure
+    memory-bandwidth waste at scale)."""
     n = F.length(text)
-    stripped = F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
+    symbols = F.regexp_count(text, F.lit(r"[^\p{L}\p{N}\s]"))
     return F.when(F.coalesce(n, F.lit(0)) == 0, F.lit(0.0)).otherwise(
-        (n - stripped) / n.cast("double")
+        symbols / n.cast("double")
     )
 
 
@@ -56,15 +59,28 @@ def boilerplate_hit(text: Column, prefixes: tuple[str, ...]) -> Column:
 
 def add_heuristic_columns(df: DataFrame, text_col: str, cfg: FilterConfig) -> DataFrame:
     """One projection adding n_chars, n_words, repetition/symbol ratios and
-    boilerplate flag.  The token array is computed once and dropped."""
+    boilerplate flag.  The token array is computed once and dropped.
+
+    Like langid/perplexity, the word- and character-class features are
+    computed over the first ``cfg.score_prefix_chars`` characters (the
+    whole text when 0): quality ratios estimated from a bounded prefix
+    are statistically equivalent for filtering, and the bound is what
+    keeps per-row cost O(1) when a mega-turn shows up at 100 TB.  Only
+    ``n_chars`` (which drives the too_short/too_long length gates) always
+    sees the full text."""
     t = F.col(text_col)
-    df = df.withColumn("__words", words_col(t))
+    pt = (
+        F.substring(t, 1, cfg.score_prefix_chars)
+        if cfg.score_prefix_chars
+        else t
+    )
+    df = df.withColumn("__words", words_col(pt))
     df = df.select(
         "*",
         F.coalesce(F.length(t), F.lit(0)).alias("n_chars"),
         n_words(F.col("__words")).alias("n_words"),
         repetition_ratio(F.col("__words")).alias("repetition_ratio"),
-        symbol_ratio(t).alias("symbol_ratio"),
+        symbol_ratio(pt).alias("symbol_ratio"),
         boilerplate_hit(t, cfg.boilerplate_prefixes).alias("boilerplate"),
     ).drop("__words")
     return df

@@ -67,7 +67,10 @@ def score_turns(
     cfg = cfg or FilterConfig()
     scorer = make_scorer_udf(spark)
 
-    df = H.add_heuristic_columns(df, text_col, cfg)
+    # UDF first, heuristics second: every non-UDF column is buffered
+    # JVM-side while batches round-trip through Python, so the Arrow
+    # stage should see the narrowest possible row (original columns
+    # only, none of the derived heuristic columns).
     score_input = (
         F.substring(F.col(text_col), 1, cfg.score_prefix_chars)
         if cfg.score_prefix_chars
@@ -79,6 +82,7 @@ def score_turns(
         F.col("__score.lang_conf").alias("lang_conf"),
         F.col("__score.ppl").alias("ppl"),
     ).drop("__score")
+    df = H.add_heuristic_columns(df, text_col, cfg)
 
     text = F.col(text_col)
     lang_ok = F.col("lang").isin(*cfg.expected_langs) & (

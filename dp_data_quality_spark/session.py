@@ -44,12 +44,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd: ~25% smaller text-heavy outputs AND faster wall-clock than
+        # snappy on this workload; at 100 TB the size delta is real money
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Contract parity: the reference ran Spark 3 non-ANSI, where a
         # malformed cast yields NULL and '1.0' casts to int 1 — rule
         # semantics (validation_rulebook.py:296-298) depend on this.
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

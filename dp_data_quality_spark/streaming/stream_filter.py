@@ -1,0 +1,109 @@
+"""Streaming quality filter: the batch scoring stack as a streaming stage.
+
+The reference has no streaming surface (SURVEY.md §2.9); this module
+extends the engine so a transcript stream (Kafka / file source /
+rate-source tests) flows through the SAME ``score_turns`` projection —
+one code path for batch and streaming, which is what keeps the per-turn
+keep/drop contract identical across both.
+
+Design:
+- ``score_stream``: stateless scoring — pure projection, so it attaches
+  to any streaming DataFrame with no state store and no shuffle.
+- ``filtered_writer``: ``foreachBatch`` sink reusing the batch
+  pipeline's partitioned-write layout (keep/bucket) so downstream
+  consumers see one table regardless of ingestion mode.  Each
+  micro-batch appends with its batch id as ``run_id`` → exactly-once
+  per epoch via the streaming checkpoint + idempotent dynamic
+  partition overwrite is NOT needed (append + dedup on
+  (conv_id, turn_idx) at read or compaction time).
+- ``windowed_drop_metrics``: watermarked per-window drop-reason counts
+  — the streaming analogue of the metrics table (late turns beyond the
+  watermark are dropped from metrics, never from data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import FilterConfig
+from ..pipeline import score_turns, with_bucket
+
+
+def score_stream(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    cfg: FilterConfig | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Attach the full scoring projection to a streaming DataFrame.
+
+    Stateless (projection only) — works on any source delivering the
+    transcript schema (conv_id, turn_idx, role, text, tool, ts)."""
+    cfg = cfg or FilterConfig()
+    return score_turns(with_bucket(stream_df, n_buckets), spark, cfg)
+
+
+def filtered_writer(output_dir: str):
+    """``foreachBatch`` function writing each scored micro-batch in the
+    batch pipeline's (keep, bucket) partition layout."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out_cols = [
+            F.col("keep").cast("int").alias("keep"),
+            "bucket", "conv_id", "turn_idx", "role", "tool", "ts",
+            "lang", "lang_conf", "ppl", "scrubbed_text", "drop_reasons",
+        ]
+        (
+            batch_df.select(*out_cols)
+            .withColumn("run_id", F.lit(f"stream-{batch_id}"))
+            .write.partitionBy("keep", "bucket")
+            .mode("append")
+            .parquet(f"{output_dir}/scored")
+        )
+
+    return _write
+
+
+def start_stream_filter(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: FilterConfig | None = None,
+    n_buckets: int = 32,
+    trigger_seconds: int | None = None,
+):
+    """Wire source → scoring → foreachBatch sink; returns the query."""
+    scored = score_stream(stream_df, spark, cfg, n_buckets)
+    writer = (
+        scored.writeStream.foreachBatch(filtered_writer(output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_drop_metrics(
+    scored_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked per-window drop-reason counts (streaming metrics).
+
+    Late turns beyond the watermark fall out of the counts only — the
+    data path above is stateless and never drops them."""
+    return (
+        scored_stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode_outer("drop_reasons").alias("reason"))
+        .groupBy(F.window("ts", window).alias("w"), "reason")
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "reason",
+            "count",
+        )
+    )

@@ -55,13 +55,16 @@ def decide_oracle(text: str | None, cfg: FilterConfig) -> tuple[bool, list[str],
         reasons.append("high_perplexity")
 
     n_chars = len(text)
-    words = text.strip().split() if text.strip() else []
+    # word/symbol features are computed on the same bounded prefix as the
+    # engine (heuristics.add_heuristic_columns); n_chars on the full text
+    words = scored_text.strip().split() if scored_text.strip() else []
     n_words = len(words)
     rep = 0.0 if n_words == 0 else 1.0 - len(set(words)) / n_words
+    n_prefix = len(scored_text)
     sym = (
         0.0
-        if n_chars == 0
-        else sum(1 for ch in text if not (ch.isalnum() or ch.isspace())) / n_chars
+        if n_prefix == 0
+        else sum(1 for ch in scored_text if not (ch.isalnum() or ch.isspace())) / n_prefix
     )
     boiler = any(
         re.match(r"\s*" + re.escape(p), text, re.I) for p in cfg.boilerplate_prefixes

@@ -1,0 +1,69 @@
+"""Streaming quality-filter tests: file-source micro-batches through the
+same scoring stack, output parity with the batch pipeline, and
+watermarked metrics."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dp_data_quality_spark import synth
+from dp_data_quality_spark.config import FilterConfig
+from dp_data_quality_spark.pipeline import score_turns
+from dp_data_quality_spark.streaming.stream_filter import (
+    score_stream,
+    start_stream_filter,
+    windowed_drop_metrics,
+)
+
+CFG = FilterConfig()
+
+
+@pytest.fixture(scope="module")
+def staged_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "input")
+    df = synth.strip_truth(synth.transcripts(spark, 60, seed=11))
+    df.write.mode("overwrite").parquet(path)
+    return path, df.count()
+
+
+def test_stream_filter_end_to_end(spark, staged_input, tmp_path):
+    path, n_rows = staged_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    assert stream.isStreaming
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_stream_filter(stream, spark, out, ckpt, CFG, n_buckets=4)
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.processAllAvailable()
+            break
+    finally:
+        q.stop()
+
+    written = spark.read.parquet(out + "/scored")
+    assert written.count() == n_rows
+
+    # parity: streaming output keep/drop == batch pipeline keep/drop
+    batch = score_turns(spark.read.parquet(path), spark, CFG)
+    b = {(r.conv_id, r.turn_idx): (r.keep, r.scrubbed_text)
+         for r in batch.select("conv_id", "turn_idx", "keep", "scrubbed_text").collect()}
+    s = {(r.conv_id, r.turn_idx): (bool(r.keep), r.scrubbed_text)
+         for r in written.select("conv_id", "turn_idx", "keep", "scrubbed_text").collect()}
+    assert b == s
+
+
+def test_windowed_metrics_schema(spark, staged_input):
+    path, _ = staged_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    metrics = windowed_drop_metrics(score_stream(stream, spark, CFG, 4))
+    assert metrics.isStreaming
+    assert [f.name for f in metrics.schema.fields] == [
+        "window_start", "window_end", "reason", "count"
+    ]
