@@ -146,6 +146,66 @@ GROUP BY r_name, n_name
 """
 
 
+def q_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup (grouping-sets) aggregation — subtotals + grand total in
+    one pass (partial aggregation per grouping set, single shuffle)."""
+    _prep(spark)
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_PRICING_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter both sides of the date, revenue
+    per order, deterministic top-10.  Broadcast the filtered dims."""
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    revenue = F.sum(
+        dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    ).cast("double")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_UNSHIPPED_ORDERS = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window: top-3 orders per customer by totalprice (deterministic
     tie-break on orderkey). Partitioned window — shuffles once on
@@ -898,6 +958,8 @@ def q_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
+        "pricing_rollup": q_pricing_rollup,
+        "top_unshipped_orders": q_top_unshipped_orders,
         "top_revenue_nations": q_top_revenue_nations,
         "customer_order_ranks": q_customer_order_ranks,
         "events_hourly": q_events_hourly,
@@ -924,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": SQL_PRICING_SUMMARY,
+        "pricing_rollup": SQL_PRICING_ROLLUP,
+        "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
         "top_revenue_nations": SQL_TOP_REVENUE_NATIONS,
         "customer_order_ranks": SQL_CUSTOMER_ORDER_RANKS,
         "events_hourly": SQL_EVENTS_HOURLY,
