@@ -866,12 +866,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ann_lsh() -> str:
     cos = SIM.sql_cosine("q.embedding", "c.embedding")
     bucket = SIM.sql_lsh_bucket("embedding")
+    probe_list = "[b0" + "".join(
+        f", xor(b0, {1 << p})" for p in range(SIM.N_PLANES)
+    ) + "]"
     return f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id, embedding, unnest({probe_list}) AS bucket
+  FROM (SELECT vec_id, embedding, bucket AS b0 FROM bucketed WHERE vec_id < 5)
 ), scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS sim
-  FROM bucketed c JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q ON c.bucket = q.bucket
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS sim
+  FROM bucketed c JOIN probes q ON c.bucket = q.bucket
   WHERE c.vec_id <> q.vec_id
 ), ranked AS (
   SELECT query_id, neighbor_id, sim,
@@ -880,6 +886,102 @@ WITH bucketed AS (
 )
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
 FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (16 sampled centroids, 2 probes) — the inverted-list
+    scale path: each query scans ~n_probe/n_centroids of the corpus."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5),
+                            k=10, n_centroids=16, n_probe=2)
+
+
+def _sql_ann_ivf() -> str:
+    c_cos = SIM.sql_cosine("v.embedding", "c.embedding")
+    q_cos = SIM.sql_cosine("q.embedding", "c.embedding")
+    sim = SIM.sql_cosine("qa.q_emb", "ca.c_emb")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings WHERE vec_id < 16
+),
+corpus_assign AS (
+  SELECT neighbor_id, c_emb, cent_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.embedding AS c_emb, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {c_cos.replace('c.embedding', 'c.cent_emb')} DESC, c.cent_id ASC) AS crank
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE crank <= 1
+),
+query_assign AS (
+  SELECT query_id, q_emb, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {q_cos.replace('c.embedding', 'c.cent_emb')} DESC, c.cent_id ASC) AS crank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {sim} AS sim
+  FROM corpus_assign ca JOIN query_assign qa ON ca.cent_id = qa.cent_id
+  WHERE ca.neighbor_id <> qa.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation over documents: quality score +
+    language gate + exact-dedup keep-first, one pass + one window."""
+    _prep(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_DUP_CORPUS_SQL)
+    from pyspark.sql import Window
+
+    t = F.col("text")
+    scored = corpus.select(
+        "doc_id", "text",
+        TS.quality_score(t).alias("quality_score"),
+        TS.lang_guess(t).alias("lang_guess"),
+        TS.fingerprint_hex(t).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("dup_rank", F.row_number().over(w))
+        .select(
+            "doc_id", "quality_score", "lang_guess",
+            (F.col("dup_rank") == 1).alias("is_canonical"),
+            (
+                (F.col("dup_rank") == 1)
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("lang_guess") == "en")
+            ).alias("kept"),
+        )
+    )
+
+
+def _sql_corpus_curation() -> str:
+    return f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+scored AS (
+  SELECT doc_id,
+         {TS.sql_quality_score('text')} AS quality_score,
+         {TS.sql_lang_guess('text')} AS lang_guess,
+         {TS.sql_fingerprint_hex('text')} AS fp
+  FROM corpus
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rank FROM scored
+)
+SELECT doc_id, quality_score, lang_guess,
+       dup_rank = 1 AS is_canonical,
+       (dup_rank = 1 AND quality_score >= 0.5 AND lang_guess = 'en') AS kept
+FROM ranked
 """
 
 
@@ -977,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "corpus_curation": q_corpus_curation,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
         "transcripts_pipeline": q_transcripts_pipeline,
@@ -1005,6 +1109,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
+        "corpus_curation": _sql_corpus_curation(),
         "embedding_neardup": _sql_embedding_neardup(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         # transcripts_pipeline: intentionally omitted (pandas-UDF models)

@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "pricing_summary",
+    "pricing_rollup",
+    "top_unshipped_orders",
     "top_revenue_nations",
     "customer_order_ranks",
     "events_hourly",

@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EMB_DIM = 64
-N_PLANES = 8
+# 4 planes → 16 buckets: sized so a bucket still holds enough candidates
+# at the sandbox corpus sizes (500-5000 vectors). At 10^9+ vectors, more
+# planes (or multi-probe) keeps bucket occupancy near k; the plane count
+# is the recall/cost dial.
+N_PLANES = 4
 
 # Fixed random hyperplanes, rounded to 4 decimals, embedded as literals
 # in both the Spark plan and the oracle SQL (same Python objects).
@@ -111,6 +115,66 @@ def cosine_topk(
     )
 
 
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
+    inverted lists, probe the query's ``n_probe`` nearest lists only.
+
+    Centroids here are the first ``n_centroids`` corpus vectors
+    (deterministic sampled-centroid IVF — the k-means refinement is an
+    offline concern; the query-time plan is identical).  At 100 TB the
+    wins are structural: the corpus is clustered ONCE (a write-time
+    partition-by-cluster), each query scans ~n_probe/n_centroids of the
+    data, and the centroid table is a broadcast.  Same output shape as
+    cosine_topk; recall < 1 by design."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+    )
+
+    def assign(df: DataFrame, id_alias: str, emb_alias: str, probes: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
+        ).crossJoin(F.broadcast(cents)).select(
+            id_alias, emb_alias, "cent_id",
+            cosine(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("csim").desc(), F.col("cent_id").asc()
+        )
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= probes)
+            .drop("csim", "crank")
+        )
+
+    corpus_a = assign(corpus, "neighbor_id", "c_emb", 1)
+    query_a = assign(queries, "query_id", "q_emb", n_probe)
+
+    scored = (
+        corpus_a.join(query_a, on="cent_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,14 +182,21 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-
-    Same output shape as cosine_topk; recall < 1 by design (bucket
-    boundary misses), which is the documented ANN trade-off."""
-    q = queries.select(
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    plus all Hamming-1 neighbor buckets (multi-probe — each flipped
+    hyperplane bit probes one adjacent bucket, the standard recall fix
+    for boundary misses).  Same output shape as cosine_topk; recall < 1
+    by design, which is the documented ANN trade-off."""
+    q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_emb"),
-        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        lsh_bucket(F.col(vec_col)).alias("b0"),
+    )
+    probes = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(1 << p) for p in range(N_PLANES)]
+    )
+    q = q0.select(
+        "query_id", "q_emb", F.explode(probes).alias("bucket")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -140,6 +211,7 @@ def lsh_ann_topk(
             "neighbor_id",
             cosine(F.col("q_emb"), F.col("c_emb")).alias("sim"),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
