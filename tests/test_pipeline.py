@@ -142,3 +142,47 @@ def test_skew_mega_thread_completes(spark, tmp_path):
                        n_buckets=8, run_id="skew")
     metrics = spark.read.parquet(res.metrics_path)
     assert metrics.agg(F.sum("rows_in")).first()[0] == df.count()
+
+
+def test_intent_level_f1(spark):
+    """Keep/drop vs the synthesizer's planted intent (the `_kind` truth
+    column): clean/pii/toxic turns keep (PII+toxicity are scrubbed, not
+    dropped); every planted defect kind drops.  BASELINE target ≥ 0.99."""
+    df = synth.transcripts(spark, 400, seed=42)
+    scored = score_turns(df, spark, CFG)
+    keep_kinds = {"clean_en", "pii", "toxic"}
+    rows = scored.select("_kind", "keep").groupBy("_kind", "keep").count().collect()
+    tp = fp = fn = 0
+    for r in rows:
+        if r._kind in keep_kinds:
+            if r.keep:
+                tp += r["count"]
+            else:
+                fn += r["count"]
+        elif r.keep:
+            fp += r["count"]
+    score = f1(tp, fp, fn)
+    assert score >= 0.995, f"intent F1={score} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_crash_between_data_and_metrics_is_idempotent(spark, transcripts, tmp_path):
+    """Worst-case crash window: all data partitions written, metrics
+    commit never happened.  A rerun must reprocess (no completed buckets
+    recorded) and converge to the same final tables — dynamic partition
+    overwrite makes the data write idempotent."""
+    import shutil
+
+    out = str(tmp_path / "out")
+    full = run_pipeline(spark, transcripts, out, cfg=CFG, n_buckets=8, run_id="r1")
+    baseline = sorted(map(tuple, spark.read.parquet(full.kept_path)
+                          .select("conv_id", "turn_idx").collect()))
+    shutil.rmtree(full.metrics_path)  # simulate dying before metrics commit
+
+    res2 = run_pipeline(spark, transcripts, out, cfg=CFG, n_buckets=8, run_id="r2")
+    assert res2.buckets_skipped == 0
+    assert res2.buckets_processed == full.buckets_processed
+    kept2 = sorted(map(tuple, spark.read.parquet(res2.kept_path)
+                       .select("conv_id", "turn_idx").collect()))
+    assert kept2 == baseline
+    m = spark.read.parquet(res2.metrics_path)
+    assert m.groupBy("partition_key").count().filter("count > 1").count() == 0
