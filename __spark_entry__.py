@@ -626,19 +626,11 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword langid guess, content fingerprint — all JVM expressions."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        F.length(t).alias("n_chars_m"),
-        TS.word_count(t).alias("n_words"),
-        TS.token_count(t).alias("n_tokens"),
-        F.round(TS.alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(TS.digit_ratio(t), 6).alias("digit_ratio"),
-        F.round(TS.stopword_ratio(t), 6).alias("stopword_ratio"),
-        F.round(TS.mean_word_len(t), 6).alias("mean_word_len"),
-        TS.quality_score(t).alias("quality_score"),
-        TS.lang_guess(t).alias("lang_guess"),
-        TS.fingerprint_hex(t).alias("fingerprint"),
+    stats = TS.add_text_stats(d)  # single word-split for all features
+    return stats.select(
+        "doc_id", "n_chars_m", "n_words", "n_tokens", "alpha_ratio",
+        "digit_ratio", "stopword_ratio", "mean_word_len", "quality_score",
+        "lang_guess", "fingerprint",
     )
 
 
@@ -944,10 +936,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = F.col("text")
-    scored = corpus.select(
+    w = TS.words(t)
+    scored = corpus.withColumn("__w", w).select(
         "doc_id", "text",
-        TS.quality_score(t).alias("quality_score"),
-        TS.lang_guess(t).alias("lang_guess"),
+        TS.quality_score_w(t, F.col("__w")).alias("quality_score"),
+        TS.lang_guess_w(F.col("__w")).alias("lang_guess"),
         TS.fingerprint_hex(t).alias("fp"),
     )
     w = Window.partitionBy("fp").orderBy("doc_id")

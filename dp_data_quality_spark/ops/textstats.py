@@ -33,6 +33,75 @@ def words(c: Column) -> Column:
     return F.filter(w, lambda x: F.length(x) > 0)
 
 
+# --- words-array-based variants (compute the split ONCE per row) ---------
+# The scalar helpers below re-derive the word array from text for API
+# convenience; in a wide per-document stats projection that is 6-8
+# redundant splits per row.  `add_text_stats` materializes the array in
+# one projection and feeds these *_w variants.
+
+def stopword_hits_w(w: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+
+def lang_guess_w(w: Column) -> Column:
+    best = None
+    for lang in LANG_ORDER:
+        h = stopword_hits_w(w, lang)
+        if best is None:
+            best = F.struct(h.alias("h"), F.lit(lang).alias("lang"))
+        else:
+            best = F.when(
+                h > best["h"], F.struct(h.alias("h"), F.lit(lang).alias("lang"))
+            ).otherwise(best)
+    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def mean_word_len_w(w: Column) -> Column:
+    n = F.size(w)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(n == 0, 0.0).otherwise(total / n.cast("double"))
+
+
+def stopword_ratio_w(w: Column, lang: str = "en") -> Column:
+    n = F.size(w)
+    return F.when(n == 0, 0.0).otherwise(stopword_hits_w(w, lang) / n.cast("double"))
+
+
+def quality_score_w(c: Column, w: Column) -> Column:
+    mwl = mean_word_len_w(w)
+    s = (
+        0.4 * alpha_ratio(c)
+        + 0.3 * stopword_ratio_w(w)
+        + 0.2 * (1.0 - digit_ratio(c))
+        + 0.1 * F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0)
+    )
+    return F.round(s, 6)
+
+
+def add_text_stats(df, text_col: str = "text", out_prefix: str = ""):
+    """One projection computing every per-document text statistic with a
+    single word-split.  Column values are identical to the scalar
+    helpers (same expressions over the same array)."""
+    t = F.col(text_col)
+    df = df.withColumn("__w", words(t))
+    w = F.col("__w")
+    p = out_prefix
+    return df.select(
+        "*",
+        F.length(t).alias(f"{p}n_chars_m"),
+        F.size(w).alias(f"{p}n_words"),
+        token_count(t).alias(f"{p}n_tokens"),
+        F.round(alpha_ratio(t), 6).alias(f"{p}alpha_ratio"),
+        F.round(digit_ratio(t), 6).alias(f"{p}digit_ratio"),
+        F.round(stopword_ratio_w(w), 6).alias(f"{p}stopword_ratio"),
+        F.round(mean_word_len_w(w), 6).alias(f"{p}mean_word_len"),
+        quality_score_w(t, w).alias(f"{p}quality_score"),
+        lang_guess_w(w).alias(f"{p}lang_guess"),
+        fingerprint_hex(t).alias(f"{p}fingerprint"),
+    ).drop("__w")
+
+
 def token_count(c: Column) -> Column:
     """BPE-ish token count via regexp extraction."""
     return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0))
