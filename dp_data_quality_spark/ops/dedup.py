@@ -88,10 +88,29 @@ def exact_duplicate_groups(
 # Shingle explode (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
+    """(doc_id, shingle) with per-doc DISTINCT shingles.
+
+    posexplode + windowed lead instead of exploding `word_shingles`
+    arrays: Catalyst evaluates higher-order-function lambdas interpreted
+    per element (~300µs/shingle measured), while posexplode + lead +
+    concat_ws stay inside whole-stage codegen.  Same shingle set as
+    word_shingles (distinct, in-order word n-grams)."""
+    from pyspark.sql import Window
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    w = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+        F.posexplode(words).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, n)
+    ]
+    sh = w.select("doc_id", *parts).filter(F.col(f"w{n - 1}").isNotNull())
+    return sh.select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"w{j}") for j in range(n)]).alias("shingle"),
+    ).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -148,12 +167,14 @@ def minhash_signatures(
     doc's shingle hashes. One explode + one groupBy; docs with no
     shingles are absent (consistently excluded downstream)."""
     sh = _exploded_shingles(df, id_col, text_col, n)
-    x = h32(F.col("shingle"))
+    # materialize the md5-derived hash ONCE per shingle — inlining it
+    # into the 16 aggregate expressions would md5 each shingle 16 times
+    hashed = sh.select("doc_id", (h32(F.col("shingle")) % 2_147_483_647).alias("x"))
     aggs = [
-        F.min(minhash_perm(x, a, b)).alias(f"sig_{i}")
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(2_147_483_647)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -168,7 +189,9 @@ def minhash_lsh_pairs(
     Band key = (band_idx, 4 signature values) → docs sharing any band
     key become candidates; only candidates pay the exact-Jaccard verify.
     The band join shuffles signatures (16 longs/doc), not text."""
-    sigs = minhash_signatures(df, id_col, text_col, n)
+    # the bands self-join and the verify join would otherwise recompute
+    # the signature/shingle subtrees once per join side
+    sigs = minhash_signatures(df, id_col, text_col, n).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -207,7 +230,7 @@ def minhash_lsh_pairs(
     sets = df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), n).alias("sh"),
-    )
+    ).persist()
     joined = (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -288,7 +311,7 @@ def simhash_pairs(
     with 4 chunks the guarantee holds for d ≤ 3, and higher-distance
     recall is best-effort, which the docstring of the calling query
     states). The chunk join keeps the shuffle on 15-bit keys."""
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col).persist()  # self-joined below
     n_chunks = 4
     chunk_bits = SIMHASH_BITS // n_chunks
     chunks = sigs.select(
