@@ -133,9 +133,13 @@ def main() -> None:
     if not args.pipeline_only:
         qs = E.queries()
         for name in BENCH_QUERIES:
-            t0 = time.time()
-            qs[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):  # best-of-2: rep 0 pays codegen/JIT
+                t0 = time.time()
+                qs[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            queries[name] = round(best, 3)
 
     total = round(pipe["sec"] + sum(queries.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
