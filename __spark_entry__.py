@@ -1031,6 +1031,24 @@ FROM documents
 
 # === the transcript pipeline itself (pandas-UDF; rows-only check) =========
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative distributed k-means (Lloyd's, 5 iterations) over the
+    embeddings table; per-cluster sizes + mean intra-cluster distance.
+    Iterative / driver-coordinated → not SQL-expressible → rows-only."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=10, n_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+        )
+    )
+
+
 def q_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule stack (langid + perplexity + heuristics + scrub)
     over deterministic synthetic transcripts; per-reason drop counts.
@@ -1076,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
+        "embedding_kmeans": q_embedding_kmeans,
         "transcripts_pipeline": q_transcripts_pipeline,
     }
 
@@ -1106,5 +1125,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _sql_corpus_curation(),
         "embedding_neardup": _sql_embedding_neardup(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        # embedding_kmeans: intentionally omitted (iterative algorithm)
         # transcripts_pipeline: intentionally omitted (pandas-UDF models)
     }

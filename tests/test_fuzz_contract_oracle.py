@@ -98,3 +98,57 @@ FROM (VALUES {rows}) t(idx, value)
             if sv != ov:
                 mismatches.append((vecs[i], col, sv, ov))
     assert not mismatches, mismatches[:10]
+
+
+def test_fuzz_scrub_byte_identity(spark):
+    """Scrub chain byte-identity across regex engines: Spark (Java) vs
+    DuckDB (RE2) on adversarial PII-adjacent strings."""
+    from dp_data_quality_spark.config import FilterConfig
+    from dp_data_quality_spark.functions.scrub import scrub_text
+    from dp_data_quality_spark.rules import regexes as rx
+
+    rng = random.Random(77)
+    frags = [
+        "bob@x.io", "a.b-c@mail.example.org", "@@", "a@b", "a@b.co",
+        "303-555-1234", "(720) 555-9876", "+1 415-555-2468", "212.555.1357",
+        "123-45-6789", "12-345-6789", "1234-56-789",
+        "192.168.1.100", "8.8.8.8", "999.1.1.1", "1.2.3.4.5", "10.0.42.7",
+        "frakking", "FRAKKING", "frakkingly", "gorram", "smeghead",
+        "x", "7", ".", "-", " ", "",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(1, 6)
+        texts.append(" ".join(rng.choice(frags) for _ in range(n)))
+
+    lex = FilterConfig().toxicity_lexicon
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "idx int, text string")
+    got = {
+        r.idx: r.s
+        for r in df.select("idx", scrub_text(F.col("text"), lex).alias("s")).collect()
+    }
+
+    steps = [
+        (rx.SCRUB_EMAIL, "<EMAIL>"),
+        (rx.SCRUB_SSN, "<SSN>"),
+        (rx.SCRUB_PHONE, "<PHONE>"),
+        (rx.SCRUB_IPV4, "<IP>"),
+    ]
+    expr = "text"
+    for pattern, token in steps:
+        expr = f"regexp_replace({expr}, '{pattern.replace(chr(39), chr(39)*2)}', '{token}', 'g')"
+    lex_alt = "|".join(lex)
+    expr = f"regexp_replace({expr}, '(?i)\\b({lex_alt})\\b', '<TOX>', 'g')"
+    rows = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')" for i, t in enumerate(texts)
+    )
+    con = duckdb.connect()
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT idx, {expr} AS s FROM (VALUES {rows}) t(idx, text)"
+        ).fetchall()
+    }
+    con.close()
+    diffs = [(texts[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not diffs, diffs[:5]

@@ -217,3 +217,21 @@ def test_json_flatten_nested(spark):
     rows = flat.orderBy("id", "tags").collect()
     assert [r.tags for r in rows] == ["t1", "t2", "t3"]
     assert rows[0].meta_b_c == "x"
+
+
+# --- clustering ----------------------------------------------------------
+
+def test_kmeans_converges_and_is_deterministic(spark, vecs):
+    from dp_data_quality_spark.ops.clustering import kmeans
+
+    assigned, sses = kmeans(vecs, k=4, n_iter=4)
+    rows = assigned.collect()
+    assert len(rows) == vecs.count()
+    assert {r.cluster for r in rows} <= set(range(4))
+    # Lloyd's SSE is non-increasing
+    assert all(b <= a + 1e-9 for a, b in zip(sses, sses[1:])), sses
+    # deterministic across runs
+    again, _ = kmeans(vecs, k=4, n_iter=4)
+    assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
+        (r.vec_id, r.cluster) for r in again.collect()
+    )
