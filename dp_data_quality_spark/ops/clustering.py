@@ -35,17 +35,20 @@ def assign_clusters(
 ) -> DataFrame:
     """(vec_id, cluster, dist) — nearest centroid per vector; the centroid
     set rides into the plan as literals (broadcast by value)."""
-    best = None
-    for cid, vec in centroids:
-        cand = F.struct(
-            _sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])).alias("d"),
+    # array_min over (dist, cid) structs: lexicographic struct ordering IS
+    # the argmin-with-lower-id tie-break, and the expression tree stays
+    # linear in k (a nested when-chain would copy the accumulated subtree
+    # per centroid — exponential codegen, OOM by k≈10).
+    cands = F.array(*[
+        F.struct(
+            _sq_dist(
+                F.col(vec_col), F.array(*[F.lit(float(x)) for x in vec])
+            ).alias("d"),
             F.lit(cid).alias("cid"),
         )
-        best = cand if best is None else F.when(
-            (cand["d"] < best["d"])
-            | ((cand["d"] == best["d"]) & (cand["cid"] < best["cid"])),
-            cand,
-        ).otherwise(best)
+        for cid, vec in centroids
+    ])
+    best = F.array_min(cands)
     return df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
