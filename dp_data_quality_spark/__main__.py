@@ -56,7 +56,10 @@ def _report_cmd(args: argparse.Namespace) -> int:
     from .session import get_spark
 
     spark = get_spark("quality-report")
-    config = RulesConfig.from_json(args.rules_config)
+    if args.rules_config.lower().endswith(".csv"):
+        config = RulesConfig.from_reference_csv(args.rules_config)
+    else:
+        config = RulesConfig.from_json(args.rules_config)
     df = spark.read.parquet(args.input)
     key_cols = args.key_cols.split(",") if args.key_cols else None
     report = build_quality_report(df, config, args.table_name, key_cols=key_cols)

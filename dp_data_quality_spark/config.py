@@ -66,6 +66,45 @@ class RulesConfig:
         raw = json.loads(Path(path).read_text())
         return cls(columns=[ColumnSpec(**row) for row in raw])
 
+    @classmethod
+    def from_reference_csv(cls, path: str | Path) -> "RulesConfig":
+        """Load the reference's metadata-spreadsheet CSV export
+        (read_data.py:112-121,131-133): columns Attribute_Name, Data_Type,
+        Nullable, IS_PCI, IS_PII, IS_CPNI, Data_Type_Length_Total.
+        Attribute names get the reference's '.'→'_' normalization
+        (read_data.py:135); unknown/blank datatypes stay None (skipped,
+        validation_rulebook.py:687).  XLSX users: export sheet 'DPI-1'
+        to CSV (openpyxl is not available in this environment)."""
+        import csv as _csv
+
+        def truthy(v: str | None) -> bool:
+            return str(v or "").strip().upper() in {"Y", "YES", "TRUE", "1"}
+
+        cols: list[ColumnSpec] = []
+        with open(path, newline="") as fh:
+            for row in _csv.DictReader(fh):
+                name = (row.get("Attribute_Name") or "").strip()
+                if not name:
+                    continue
+                dtype = (row.get("Data_Type") or "").strip().lower() or None
+                if dtype is not None and dtype not in VALID_DATATYPES:
+                    dtype = None
+                raw_len = (row.get("Data_Type_Length_Total") or "").strip()
+                try:
+                    length = int(float(raw_len)) if raw_len else None
+                except ValueError:
+                    length = None
+                cols.append(ColumnSpec(
+                    attribute_name=name.replace(".", "_"),
+                    data_type=dtype,
+                    length_total=length,
+                    nullable=truthy(row.get("Nullable", "Y")),
+                    is_pii=truthy(row.get("IS_PII")),
+                    is_pci=truthy(row.get("IS_PCI")),
+                    is_cpni=truthy(row.get("IS_CPNI")),
+                ))
+        return cls(columns=cols)
+
 
 @dataclass(frozen=True)
 class FilterConfig:

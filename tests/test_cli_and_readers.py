@@ -63,3 +63,25 @@ def test_read_any_csv_json(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_any(spark, "file.xyz")
+
+
+def test_rules_config_from_reference_csv(tmp_path):
+    from dp_data_quality_spark.config import RulesConfig
+
+    csv = tmp_path / "meta.csv"
+    csv.write_text(
+        "Attribute_Name,Data_Type,Nullable,Data_Structure,Lookup_Table_Name,"
+        "Enhance_Table_Name,IS_PCI,IS_PII,IS_CPNI,Description,Data_Type_Length_Total\n"
+        "user.id,integer,N,,,,N,Y,N,user key,10\n"
+        "email,varchar,Y,,,,N,Y,N,,254.0\n"
+        "weird_col,frobnicate,Y,,,,N,N,N,,\n"
+        ",string,Y,,,,N,N,N,skipped blank name,\n"
+    )
+    cfg = RulesConfig.from_reference_csv(csv)
+    by_name = {c.attribute_name: c for c in cfg.columns}
+    assert set(by_name) == {"user_id", "email", "weird_col"}  # '.'→'_', blank dropped
+    assert by_name["user_id"].data_type == "integer"
+    assert by_name["user_id"].length_total == 10
+    assert by_name["user_id"].is_pii and not by_name["user_id"].nullable
+    assert by_name["email"].length_total == 254          # float-formatted length
+    assert by_name["weird_col"].data_type is None        # unknown type → skipped
