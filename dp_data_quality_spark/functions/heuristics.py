@@ -57,9 +57,13 @@ def boilerplate_hit(text: Column, prefixes: tuple[str, ...]) -> Column:
     return F.coalesce(text.rlike(rf"(?i)^\s*({alt})"), F.lit(False))
 
 
-def add_heuristic_columns(df: DataFrame, text_col: str, cfg: FilterConfig) -> DataFrame:
-    """One projection adding n_chars, n_words, repetition/symbol ratios and
-    boilerplate flag.  The token array is computed once and dropped.
+def add_heuristic_columns(
+    df: DataFrame, text_col: str, cfg: FilterConfig, include_word_stats: bool = True
+) -> DataFrame:
+    """One projection adding n_chars, symbol ratio, boilerplate flag —
+    plus n_words/repetition_ratio when ``include_word_stats`` (the
+    pipeline passes False: its fused scorer UDF computes word stats from
+    the byte buffer it already holds, so the JVM never splits words).
 
     Like langid/perplexity, the word- and character-class features are
     computed over the first ``cfg.score_prefix_chars`` characters (the
@@ -74,16 +78,20 @@ def add_heuristic_columns(df: DataFrame, text_col: str, cfg: FilterConfig) -> Da
         if cfg.score_prefix_chars
         else t
     )
-    df = df.withColumn("__words", words_col(pt))
-    df = df.select(
-        "*",
+    cols = [
         F.coalesce(F.length(t), F.lit(0)).alias("n_chars"),
-        n_words(F.col("__words")).alias("n_words"),
-        repetition_ratio(F.col("__words")).alias("repetition_ratio"),
         symbol_ratio(pt).alias("symbol_ratio"),
         boilerplate_hit(t, cfg.boilerplate_prefixes).alias("boilerplate"),
+    ]
+    if not include_word_stats:
+        return df.select("*", *cols)
+    df = df.withColumn("__words", words_col(pt))
+    return df.select(
+        "*",
+        n_words(F.col("__words")).alias("n_words"),
+        repetition_ratio(F.col("__words")).alias("repetition_ratio"),
+        *cols,
     ).drop("__words")
-    return df
 
 
 def heuristic_drop_reasons(cfg: FilterConfig) -> list[tuple[str, Column]]:

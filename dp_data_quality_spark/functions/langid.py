@@ -58,6 +58,11 @@ _RESULT_TYPE = T.StructType([
 def score_batch(texts: pd.Series, table: np.ndarray) -> pd.DataFrame:
     """Vectorized batch scorer → DataFrame(lang, lang_conf)."""
     buf, offsets, lengths = ngram.encode_batch(texts.tolist())
+    return score_from_buffer(buf, offsets, lengths, table)
+
+
+def score_from_buffer(buf, offsets, lengths, table: np.ndarray) -> pd.DataFrame:
+    """Buffer-level scorer — lets the fused UDF share one encode pass."""
     sums, counts = ngram.rowwise_ngram_stats(buf, offsets, NGRAM, table)
     counts = np.maximum(counts, 1)
     mean_ll = sums / counts[:, None]                       # (rows, L)

@@ -46,6 +46,81 @@ def encode_batch(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return buf, offsets, lengths
 
 
+_POW31 = None
+
+
+def _pow31(max_len: int) -> np.ndarray:
+    """31^i mod 2^32 lookup (word-position weights), grown on demand."""
+    global _POW31
+    if _POW31 is None or len(_POW31) < max_len:
+        n = max(max_len, 1024)
+        out = np.empty(n, dtype=np.int64)
+        v = 1
+        for i in range(n):
+            out[i] = v
+            v = (v * 31) & 0xFFFFFFFF
+        _POW31 = out
+    return _POW31
+
+
+# ASCII whitespace = Java regex \s (the JVM splitter the heuristics
+# formerly used): space, \t, \n, \x0b, \f, \r — plus NUL (row separator).
+_WS_BYTES = (32, 9, 10, 11, 12, 13)
+
+
+def rowwise_word_stats(
+    buf: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_words, n_distinct_words) per row, fully vectorized.
+
+    Words are maximal runs of non-whitespace bytes; "distinct" is by a
+    32-bit positional polynomial hash (sum of byte·31^pos mod 2^32) —
+    collision-tolerant by design and mirrored exactly by the test
+    oracle.  One pass over the byte buffer: boundary mask → per-word
+    reduceat for hashes → sort-free distinct via np.unique on
+    (row, hash) keys.
+    """
+    rows = len(offsets)
+    if len(buf) == 0:
+        return np.zeros(rows, dtype=np.int64), np.zeros(rows, dtype=np.int64)
+
+    sep = buf == 0
+    for w in _WS_BYTES:
+        sep |= buf == w
+    token = ~sep
+    prev_sep = np.empty_like(sep)
+    prev_sep[0] = True
+    prev_sep[1:] = sep[:-1]
+    starts_mask = token & prev_sep
+
+    # words per row
+    bounded = np.minimum(offsets, len(buf) - 1)
+    n_words = np.add.reduceat(starts_mask.astype(np.int64), bounded)
+    seg_ends = np.append(bounded[1:], len(buf))
+    empty = (seg_ends <= bounded) | (offsets >= len(buf))
+    n_words[empty] = 0
+
+    word_starts = np.flatnonzero(starts_mask)
+    if word_starts.size == 0:
+        return n_words, np.zeros(rows, dtype=np.int64)
+
+    # position within word: i - start_of_current_word (sep positions junk, masked)
+    idx = np.arange(len(buf), dtype=np.int64)
+    start_marks = np.where(starts_mask, idx, -1)
+    cur_start = np.maximum.accumulate(start_marks)
+    pos = idx - cur_start
+    pos[~token] = 0
+    weights = (buf.astype(np.int64) * _pow31(int(pos.max()) + 1)[pos]) & 0xFFFFFFFF
+    weights[~token] = 0
+    hashes = np.add.reduceat(weights, word_starts) & 0xFFFFFFFF
+
+    word_row = np.searchsorted(offsets, word_starts, side="right") - 1
+    combined = (word_row.astype(np.int64) << 32) | hashes
+    uniq = np.unique(combined)
+    n_distinct = np.bincount((uniq >> 32).astype(np.int64), minlength=rows)
+    return n_words, n_distinct.astype(np.int64)
+
+
 def rowwise_ngram_stats(
     buf: np.ndarray,
     offsets: np.ndarray,

@@ -44,6 +44,10 @@ _TABLE = _train_table()
 
 def ppl_batch(texts: pd.Series, table: np.ndarray) -> pd.Series:
     buf, offsets, lengths = ngram.encode_batch(texts.tolist())
+    return ppl_from_buffer(buf, offsets, table)
+
+
+def ppl_from_buffer(buf, offsets, table: np.ndarray) -> pd.Series:
     sums, counts = ngram.rowwise_ngram_stats(buf, offsets, NGRAM, table)
     ppl = np.full(len(offsets), PPL_UNSCORABLE, dtype=np.float64)
     scorable = counts > 0
@@ -61,27 +65,38 @@ def make_ppl_udf(spark: SparkSession):
     return ppl_udf
 
 
-# --- fused scorer: one Arrow transfer for langid + perplexity -------------
+# --- fused scorer: one Arrow transfer, one UTF-8 encode pass --------------
+# langid + perplexity + word statistics (n_words, repetition ratio) all
+# read the same NUL-separated byte buffer; the JVM never splits words.
 _FUSED_TYPE = T.StructType([
     T.StructField("lang", T.StringType()),
     T.StructField("lang_conf", T.DoubleType()),
     T.StructField("ppl", T.DoubleType()),
+    T.StructField("n_words", T.IntegerType()),
+    T.StructField("repetition_ratio", T.DoubleType()),
 ])
 
 
 def make_scorer_udf(spark: SparkSession):
-    """Single pandas UDF returning struct<lang, lang_conf, ppl> — the text
-    column crosses the JVM↔Arrow boundary exactly once per batch."""
+    """Single pandas UDF returning struct<lang, lang_conf, ppl, n_words,
+    repetition_ratio> — the text crosses the JVM↔Arrow boundary once per
+    batch and is UTF-8-encoded once per batch."""
+    from . import ngram
     from .langid import _TABLE as LANG_TABLE
-    from .langid import score_batch
+    from .langid import score_from_buffer
 
     bc_lang = spark.sparkContext.broadcast(LANG_TABLE)
     bc_ppl = spark.sparkContext.broadcast(_TABLE)
 
     @F.pandas_udf(_FUSED_TYPE)
     def scorer_udf(texts: pd.Series) -> pd.DataFrame:
-        out = score_batch(texts, bc_lang.value)
-        out["ppl"] = ppl_batch(texts, bc_ppl.value)
+        buf, offsets, lengths = ngram.encode_batch(texts.tolist())
+        out = score_from_buffer(buf, offsets, lengths, bc_lang.value)
+        out["ppl"] = ppl_from_buffer(buf, offsets, bc_ppl.value)
+        n_words, n_distinct = ngram.rowwise_word_stats(buf, offsets)
+        out["n_words"] = n_words.astype("int32")
+        rep = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(n_words, 1), 0.0)
+        out["repetition_ratio"] = rep
         return out
 
     return scorer_udf

@@ -81,8 +81,10 @@ def score_turns(
         F.col("__score.lang").alias("lang"),
         F.col("__score.lang_conf").alias("lang_conf"),
         F.col("__score.ppl").alias("ppl"),
+        F.col("__score.n_words").alias("n_words"),
+        F.col("__score.repetition_ratio").alias("repetition_ratio"),
     ).drop("__score")
-    df = H.add_heuristic_columns(df, text_col, cfg)
+    df = H.add_heuristic_columns(df, text_col, cfg, include_word_stats=False)
 
     text = F.col(text_col)
     lang_ok = F.col("lang").isin(*cfg.expected_langs) & (

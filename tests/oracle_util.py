@@ -56,10 +56,28 @@ def decide_oracle(text: str | None, cfg: FilterConfig) -> tuple[bool, list[str],
 
     n_chars = len(text)
     # word/symbol features are computed on the same bounded prefix as the
-    # engine (heuristics.add_heuristic_columns); n_chars on the full text
-    words = scored_text.strip().split() if scored_text.strip() else []
-    n_words = len(words)
-    rep = 0.0 if n_words == 0 else 1.0 - len(set(words)) / n_words
+    # engine (heuristics.add_heuristic_columns); n_chars on the full text.
+    # Word stats use the engine's byte-level contract (functions/ngram.py
+    # rowwise_word_stats): ASCII-whitespace splitting, distinctness by the
+    # 31-polynomial 32-bit hash — reimplemented here per row, slowly.
+    ws = set(b" \t\n\x0b\f\r")
+    word_bytes: list[bytes] = []
+    cur = bytearray()
+    for byte in scored_text.encode("utf-8", "ignore"):
+        if byte in ws:
+            if cur:
+                word_bytes.append(bytes(cur))
+                cur = bytearray()
+        else:
+            cur.append(byte)
+    if cur:
+        word_bytes.append(bytes(cur))
+    n_words = len(word_bytes)
+    hashes = {
+        sum(b * pow(31, i, 2**32) for i, b in enumerate(w)) % 2**32
+        for w in word_bytes
+    }
+    rep = 0.0 if n_words == 0 else 1.0 - len(hashes) / n_words
     n_prefix = len(scored_text)
     sym = (
         0.0
