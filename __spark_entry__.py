@@ -328,6 +328,39 @@ GOLDEN_VECTORS: list[str | None] = [
 ]
 
 
+def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: purchasers EXCEPT error-hitters, INTERSECT with
+    clickers, counted — the intersect/except/union family over events."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    clean_buyers = buyers.exceptAll(errors)
+    active_clean = clean_buyers.intersect(clickers)
+    return spark.range(1).select(
+        F.lit(buyers.count()).alias("n_buyers"),
+        F.lit(clean_buyers.count()).alias("n_clean_buyers"),
+        F.lit(active_clean.count()).alias("n_active_clean"),
+    ).drop("id")
+
+
+SQL_USER_SETOPS = """
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')) AS n_buyers,
+  (SELECT count(*) FROM (
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+     EXCEPT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS n_clean_buyers,
+  (SELECT count(*) FROM (
+     (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+     INTERSECT
+     SELECT DISTINCT user_id FROM events WHERE event_type = 'click')) AS n_active_clean
+"""
+
+
 def q_contract_golden_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rules 4-16 on the reference's golden test vectors (and edge cases),
     one wide select — the per-value contract, bit-for-bit."""
@@ -1078,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        "user_setops": q_user_setops,
         "contract_golden_vectors": q_contract_golden_vectors,
         "quality_report_documents": q_quality_report_documents,
         "contract_lineitem_types": q_contract_lineitem_types,
@@ -1109,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "user_setops": SQL_USER_SETOPS,
         "contract_golden_vectors": SQL_CONTRACT_GOLDEN_VECTORS,
         "quality_report_documents": _sql_quality_report_documents(),
         "contract_lineitem_types": _sql_contract_lineitem_types(),
