@@ -67,3 +67,41 @@ def test_windowed_metrics_schema(spark, staged_input):
     assert [f.name for f in metrics.schema.fields] == [
         "window_start", "window_end", "reason", "count"
     ]
+
+
+def test_windowed_metrics_values_match_batch(spark, staged_input):
+    """Streaming windowed drop-reason counts == batch groupBy over the
+    same data (memory sink, complete mode)."""
+    path, _ = staged_input
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    metrics = windowed_drop_metrics(score_stream(stream, spark, CFG, 4),
+                                    window="1 minute", watermark="2 minutes")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.reason): r["count"]
+            for r in spark.sql("SELECT * FROM win_metrics").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = score_turns(spark.read.parquet(path), spark, CFG)
+    want = {
+        (r.w, r.reason): r["count"]
+        for r in batch.select(
+            F.window("ts", "1 minute").alias("win"),
+            F.explode_outer("drop_reasons").alias("reason"),
+        )
+        .select(F.col("win.start").alias("w"), "reason")
+        .groupBy("w", "reason")
+        .count()
+        .collect()
+    }
+    assert got == want and len(got) > 0
