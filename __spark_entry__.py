@@ -279,7 +279,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EVENTS_SESSIONIZE = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
@@ -306,7 +306,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_JSON_PROPS = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
 FROM events
 GROUP BY event_type
@@ -339,9 +339,9 @@ def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean_buyers = buyers.exceptAll(errors)
     active_clean = clean_buyers.intersect(clickers)
     return spark.range(1).select(
-        F.lit(buyers.count()).alias("n_buyers"),
-        F.lit(clean_buyers.count()).alias("n_clean_buyers"),
-        F.lit(active_clean.count()).alias("n_active_clean"),
+        F.lit(buyers.count()).cast("long").alias("n_buyers"),
+        F.lit(clean_buyers.count()).cast("long").alias("n_clean_buyers"),
+        F.lit(active_clean.count()).cast("long").alias("n_active_clean"),
     ).drop("id")
 
 
@@ -582,12 +582,12 @@ def _sql_contract_lineitem_types() -> str:
     s = lambda c: f"CAST({c} AS VARCHAR)"
     return f"""
 SELECT
-  sum(CASE WHEN {_sql_integral_fail(s('l_quantity'), -2147483648, 2147483647)} THEN 1 ELSE 0 END) AS qty_int_fails,
-  sum(CASE WHEN {_sql_numeric_fail(s('l_quantity'))} THEN 1 ELSE 0 END) AS qty_numeric_fails,
-  sum(CASE WHEN {_sql_integral_fail(s('l_orderkey'), -32768, 32767)} THEN 1 ELSE 0 END) AS orderkey_short_fails,
-  sum(CASE WHEN {_sql_integral_fail(s('l_orderkey'), -9223372036854775808, 9223372036854775807)} THEN 1 ELSE 0 END) AS orderkey_long_fails,
-  sum(CASE WHEN {_sql_integral_fail(s('l_linenumber'), -2147483648, 2147483647)} THEN 1 ELSE 0 END) AS linenumber_int_fails,
-  sum(CASE WHEN {_sql_epoch_fail(s('l_partkey'))} THEN 1 ELSE 0 END) AS partkey_epoch_fails,
+  CAST(sum(CASE WHEN {_sql_integral_fail(s('l_quantity'), -2147483648, 2147483647)} THEN 1 ELSE 0 END) AS BIGINT) AS qty_int_fails,
+  CAST(sum(CASE WHEN {_sql_numeric_fail(s('l_quantity'))} THEN 1 ELSE 0 END) AS BIGINT) AS qty_numeric_fails,
+  CAST(sum(CASE WHEN {_sql_integral_fail(s('l_orderkey'), -32768, 32767)} THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_short_fails,
+  CAST(sum(CASE WHEN {_sql_integral_fail(s('l_orderkey'), -9223372036854775808, 9223372036854775807)} THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_long_fails,
+  CAST(sum(CASE WHEN {_sql_integral_fail(s('l_linenumber'), -2147483648, 2147483647)} THEN 1 ELSE 0 END) AS BIGINT) AS linenumber_int_fails,
+  CAST(sum(CASE WHEN {_sql_epoch_fail(s('l_partkey'))} THEN 1 ELSE 0 END) AS BIGINT) AS partkey_epoch_fails,
   count(*) AS n_rows
 FROM lineitem
 """
@@ -661,9 +661,14 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     stats = TS.add_text_stats(d)  # single word-split for all features
     return stats.select(
-        "doc_id", "n_chars_m", "n_words", "n_tokens", "alpha_ratio",
-        "digit_ratio", "stopword_ratio", "mean_word_len", "quality_score",
-        "lang_guess", "fingerprint",
+        "doc_id",
+        # long: DuckDB length/len return BIGINT — align widths for the
+        # driver's schema comparison
+        F.col("n_chars_m").cast("long").alias("n_chars_m"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "alpha_ratio", "digit_ratio", "stopword_ratio", "mean_word_len",
+        "quality_score", "lang_guess", "fingerprint",
     )
 
 

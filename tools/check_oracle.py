@@ -81,6 +81,12 @@ def main() -> int:
             traceback.print_exc(limit=4)
             failures.append(name)
             continue
+        # dtype drift report (driver may compare schemas more strictly
+        # than the value hash): warn on width/kind differences
+        for col in sorted(set(sdf.columns) & set(odf.columns)):
+            a, b = str(sdf[col].dtype), str(odf[col].dtype)
+            if a != b:
+                print(f"    [dtype-warn] {name}.{col}: spark={a} oracle={b}")
         cs, co = canon(sdf), canon(odf)
         if list(cs.columns) != list(co.columns):
             print(f"[COLS-DIFF ] {name}: spark={list(cs.columns)} oracle={list(co.columns)}")
