@@ -887,7 +887,9 @@ FROM ranked WHERE rank <= 10
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-10 (8 fixed hyperplanes → 256 buckets)."""
+    """LSH-bucketed ANN top-10 (``SIM.N_PLANES`` fixed hyperplanes →
+    2**N_PLANES buckets — 4 planes / 16 buckets — with Hamming-1
+    multi-probe)."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
@@ -1018,32 +1020,19 @@ FROM ranked
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the embedding-space
-    analogue of the text dedup family.  Threshold 0.4 is calibrated to
-    the synthetic corpus (max pairwise sim ≈ 0.51) so the operator
+    analogue of the text dedup family.  Candidates come from LSH
+    bucket + Hamming-1 probe collisions (``ops.similarity.neardup_pairs``)
+    — a hash-partitioned self-join on a small int key, NO crossJoin /
+    CartesianProduct anywhere in the plan.  Threshold 0.4 is calibrated
+    to the synthetic corpus (max pairwise sim ≈ 0.51) so the operator
     produces verifiable output."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            SIM.cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"),
-        )
-        .filter(F.col("sim") >= 0.4)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-    )
+    return SIM.neardup_pairs(emb, threshold=0.4)
 
 
 def _sql_embedding_neardup() -> str:
-    cos = SIM.sql_cosine("a.embedding", "b.embedding")
-    return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.4
-"""
+    return SIM.sql_neardup_pairs(threshold=0.4)
 
 
 # === multimodal ===========================================================

@@ -8,13 +8,21 @@
   the scan is embarrassingly parallel, and only k rows per query
   survive to the (tiny) final sort.
 
-- **LSH-bucketed ANN** — random-hyperplane signatures: 8 fixed
-  hyperplanes → 8 sign bits → 256 buckets; candidates share the
-  query's bucket, so the expensive cosine runs on ~1/256 of the
-  corpus per query. The scale path when the query set is large enough
-  that broadcast brute force stops being free. Hyperplanes are fixed
+- **LSH-bucketed ANN** — random-hyperplane signatures: ``N_PLANES``
+  fixed hyperplanes → ``N_PLANES`` sign bits → ``2**N_PLANES`` buckets
+  (4 planes → 16 buckets here); candidates share the query's bucket,
+  so the expensive cosine runs on ~1/2**N_PLANES of the corpus per
+  query. The scale path when the query set is large enough that
+  broadcast brute force stops being free. Hyperplanes are fixed
   literals (generated once from a seeded RNG at module import), so the
   SQL oracle reproduces the exact same buckets.
+
+- **Near-duplicate pairs** — the same buckets drive all-vs-all
+  near-dup detection without a cartesian product: every vector joins
+  only against its own bucket plus Hamming-1 probe buckets, so the
+  candidate set is O(n·avg_bucket_occupancy), not O(n²). Recall < 1
+  by design (pairs whose signatures differ in ≥2 bits are missed) —
+  the standard LSH trade-off; the plane count is the recall/cost dial.
 
 All arithmetic is float32 → float64 promotion with left-associative
 summation in BOTH engines, so results are bit-identical pre-rounding.
@@ -72,7 +80,7 @@ def plane_dot(emb: Column, plane: list[float]) -> Column:
 
 
 def lsh_bucket(emb: Column) -> Column:
-    """8-bit random-hyperplane bucket id (0..255)."""
+    """``N_PLANES``-bit random-hyperplane bucket id (0..2**N_PLANES-1)."""
     bucket = F.lit(0)
     for p, plane in enumerate(HYPERPLANES):
         bucket = bucket + F.when(plane_dot(emb, plane) > 0, F.lit(1 << p)).otherwise(0)
@@ -223,6 +231,57 @@ def lsh_ann_topk(
     )
 
 
+def neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed candidates —
+    NO all-pairs join anywhere in the plan.
+
+    Each vector lands in its sign-bit bucket; side A additionally probes
+    every Hamming-1 neighbor bucket (one flipped hyperplane bit each).
+    The equi-join on the probe key therefore emits each unordered pair
+    whose signatures differ in ≤1 bit exactly once (after ``id_a <
+    id_b``), and the expensive cosine runs only on those candidates:
+    O(n · bucket_occupancy) work, vs O(n²) for a crossJoin.  At 10⁹
+    vectors the plan is a hash-partitioned self-join on a small int key
+    — more planes shrink buckets to keep per-key work bounded.
+
+    Recall < 1 by design (a near-dup pair ≥2 sign bits apart is
+    missed) — the documented LSH trade-off shared with ``lsh_ann_topk``.
+    """
+    e = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        lsh_bucket(F.col(vec_col)).alias("b0"),
+    )
+    probes = F.array(
+        F.col("b0"), *[F.col("b0").bitwiseXOR(1 << p) for p in range(N_PLANES)]
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.explode(probes).alias("probe"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("b0").alias("probe"),
+    )
+    return (
+        a.join(b, on="probe")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 # --- oracle SQL fragments -------------------------------------------------
 
 def sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
@@ -255,3 +314,28 @@ def sql_lsh_bucket(emb: str) -> str:
         for p, plane in enumerate(HYPERPLANES)
     ]
     return "(" + " + ".join(parts) + ")"
+
+
+def sql_neardup_pairs(threshold: float = 0.4, table: str = "embeddings") -> str:
+    """DuckDB twin of ``neardup_pairs``: same buckets, same Hamming-1
+    probes (``xor(b0, 1<<p)``), same candidate predicate — value-exact."""
+    cos = sql_cosine("emb_a", "emb_b")
+    probe_selects = ["  SELECT vec_id, embedding, b0 AS probe FROM e"] + [
+        f"  SELECT vec_id, embedding, xor(b0, {1 << p}) AS probe FROM e"
+        for p in range(N_PLANES)
+    ]
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {sql_lsh_bucket('embedding')} AS b0 FROM {table}
+),
+probes AS (
+{chr(10).join(s + (' UNION ALL' if i < N_PLANES else '') for i, s in enumerate(probe_selects))}
+),
+cand AS (
+  SELECT a.vec_id AS id_a, a.embedding AS emb_a,
+         b.vec_id AS id_b, b.embedding AS emb_b
+  FROM probes a JOIN e b ON a.probe = b.b0 AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS sim
+FROM cand WHERE {cos} >= {threshold}
+"""

@@ -135,6 +135,39 @@ def test_lsh_ann_is_bucket_subset(vecs):
     assert ann <= brute  # candidates are a subset of the full ranking
 
 
+def test_neardup_pairs_bucketed_no_cartesian(spark):
+    # full-width vectors so the hyperplane buckets are non-degenerate
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, S.EMB_DIM))
+    rows = []
+    for i in range(40):
+        v = base[i % 8] + 0.15 * rng.standard_normal(S.EMB_DIM)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = S.neardup_pairs(df, threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    got = {(r.id_a, r.id_b): r.sim for r in out.collect()}
+    assert got  # clustered data must produce near-dup pairs
+
+    # every emitted pair is a true near-dup (subset of exact all-pairs)
+    data = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    exact = {}
+    for i in data:
+        for j in data:
+            if i < j:
+                s = float(data[i] @ data[j] /
+                          (np.linalg.norm(data[i]) * np.linalg.norm(data[j])))
+                if s >= 0.8:
+                    exact[(i, j)] = s
+    assert set(got) <= set(exact)
+    for pair, sim in got.items():
+        assert abs(sim - exact[pair]) < 1e-5
+
+
 # --- textstats -----------------------------------------------------------
 
 def test_token_and_word_counts(spark):
