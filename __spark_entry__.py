@@ -329,20 +329,29 @@ GOLDEN_VECTORS: list[str | None] = [
 
 
 def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations: purchasers EXCEPT error-hitters, INTERSECT with
-    clickers, counted — the intersect/except/union family over events."""
+    """Set-operation semantics (EXCEPT / INTERSECT over distinct user
+    sets) computed as ONE job: per-user event-type flags from a single
+    scan + groupBy, then one conditional-count aggregate — no driver
+    ``.count()`` actions, no per-set rescans, no exceptAll/intersect
+    shuffles.  At scale this is one shuffle on user_id instead of three
+    full scans + three set-op shuffles + three collect round-trips."""
     _prep(spark)
     e = _t(spark, sf_dir, "events")
-    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    errors = e.filter(F.col("event_type") == "error").select("user_id").distinct()
-    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
-    clean_buyers = buyers.exceptAll(errors)
-    active_clean = clean_buyers.intersect(clickers)
-    return spark.range(1).select(
-        F.lit(buyers.count()).cast("long").alias("n_buyers"),
-        F.lit(clean_buyers.count()).cast("long").alias("n_clean_buyers"),
-        F.lit(active_clean.count()).cast("long").alias("n_active_clean"),
-    ).drop("id")
+    flags = (
+        e.filter(F.col("event_type").isin("purchase", "error", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("buys"),
+            F.max(F.col("event_type") == "error").alias("errs"),
+            F.max(F.col("event_type") == "click").alias("clicks"),
+        )
+    )
+    return flags.agg(
+        F.count_if(F.col("buys")).alias("n_buyers"),
+        F.count_if(F.col("buys") & ~F.col("errs")).alias("n_clean_buyers"),
+        F.count_if(F.col("buys") & ~F.col("errs") & F.col("clicks"))
+        .alias("n_active_clean"),
+    )
 
 
 SQL_USER_SETOPS = """

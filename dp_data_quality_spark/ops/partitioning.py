@@ -58,7 +58,14 @@ def salted_join(
 
     Output equals ``left.join(right, on, how)`` for inner/left joins;
     right-side row multiplicity is preserved because each right row is
-    matched by exactly one salt per left row."""
+    matched by exactly one salt per left row.  Right/full-outer joins
+    would emit each unmatched right row once PER SALT (it exists in
+    every salt replica) — silently wrong, so they are rejected."""
+    if how.lower().replace("_", "") not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "unmatched right rows would be duplicated n_salts times"
+        )
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     l = left.withColumn("__salt", salt.cast("int"))
     r = right.withColumn(

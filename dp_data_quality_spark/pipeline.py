@@ -185,6 +185,12 @@ def run_pipeline(
             if skipped:
                 df = df.join(F.broadcast(done), on="bucket", how="left_anti")
 
+    # Nothing to do (fresh empty input, or every bucket already completed):
+    # bail before the write — an empty partitioned write commits no part
+    # files, and the metrics read below would fail schema inference.
+    if df.isEmpty():
+        return PipelineResult(kept_path, metrics_path, 0, skipped)
+
     # Repartition on the bucket key BEFORE scoring: (a) scoring parallelism
     # no longer depends on input file layout (a compact parquet would
     # otherwise serialize the pandas-UDF stage onto 1-2 scan partitions);

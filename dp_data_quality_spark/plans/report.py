@@ -122,6 +122,7 @@ def build_quality_report(
     account_name: str | None = None,
     bucket: str | None = None,
     include_duplicate_rule: bool = True,
+    include_report_id: bool = True,
 ) -> DataFrame:
     """Full report: schema rules ∪ exploded row-level rule hits ∪ duplicates.
 
@@ -130,6 +131,14 @@ def build_quality_report(
     (validation_rulebook.py:102-103, the single-task shuffle bug).  When
     None, a ROW_ID is synthesized with the same global-window semantics
     for small-fixture parity only.
+
+    ``include_report_id``: prepend the reference's 1-based ``DQ_REPORT_ID``
+    surrogate (quality_report.py:207-208, ``np.arange`` over the assembled
+    frame) as ``row_number`` over a deterministic total order
+    (VALIDATION_ID, COLUMN_NAME, PRIMARY_KEY_VALUE).  This is a global
+    window over REPORT rows only (failures, not data) — the same
+    single-node materialization the reference's pandas assembly implies;
+    pass False to skip it when a report is itself huge.
     """
     spark = df.sparkSession
     df = C.normalize_column_names(df)
@@ -192,4 +201,16 @@ def build_quality_report(
         spark, df.columns, config, table_name, account_name, bucket
     ).withColumn("TIMESTAMP", F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"))
 
-    return schema_level.unionByName(row_level)
+    report = schema_level.unionByName(row_level)
+    if include_report_id:
+        from pyspark.sql import Window
+
+        order = Window.orderBy(
+            F.col("VALIDATION_ID").asc_nulls_first(),
+            F.col("COLUMN_NAME").asc_nulls_first(),
+            F.col("PRIMARY_KEY_VALUE").asc_nulls_first(),
+        )
+        report = report.select(
+            F.row_number().over(order).alias("DQ_REPORT_ID"), "*"
+        )
+    return report

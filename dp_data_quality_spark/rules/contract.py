@@ -205,9 +205,23 @@ def pii_fail(c: Column) -> Column:
 # Reference: dropDuplicates keeps the first ROW_ID; non-first copies fail.
 # Distributed equivalent: row_number over a content-partitioned window —
 # no collect, no driver diff.
+#
+# The window partitions on a 32-byte content DIGEST, not the raw columns:
+# partitioning by the columns themselves would shuffle every content
+# byte (including full text payloads) just to group identical rows —
+# at 100 TB that is the whole table through the wire.  Hashing first
+# means only the digest is the shuffle key.  Null-safety: each column
+# is md5'd separately (fixed 32-hex tokens) with a non-hex 'NULL'
+# sentinel, so null vs '' vs field-boundary shifts can't collide, and
+# nulls group together exactly like partitionBy(col) would.
 # ---------------------------------------------------------------------------
 def duplicate_fail(df: DataFrame, subset: list[str], order_col: str) -> Column:
-    w = Window.partitionBy(*[F.col(c) for c in subset]).orderBy(F.col(order_col))
+    enc = [
+        F.coalesce(F.md5(F.col(f"`{c}`").cast("string")), F.lit("NULL"))
+        for c in subset
+    ]
+    digest = F.sha2(F.concat(*enc), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(order_col))
     return F.row_number().over(w) > 1
 
 

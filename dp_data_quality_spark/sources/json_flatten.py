@@ -30,7 +30,26 @@ def has_nested(df: DataFrame) -> bool:
     )
 
 
-def flatten_once(df: DataFrame) -> DataFrame:
+def _observed_map_keys(df: DataFrame, name: str, cap: int) -> list[str]:
+    """Distinct keys of a map column, sorted — ONE pruned distinct pass
+    (only the map column is scanned, nothing else moves).  Bounded by
+    ``cap``: per-key columns only make sense for enum-like key sets; an
+    unbounded key domain would explode the schema, so we fail loudly."""
+    rows = (
+        df.select(F.explode(F.map_keys(F.col(f"`{name}`"))).alias("k"))
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        raise ValueError(
+            f"map column '{name}' has more than {cap} distinct keys; "
+            "per-key flattening would explode the schema"
+        )
+    return sorted(str(r.k) for r in rows)
+
+
+def flatten_once(df: DataFrame, max_map_keys: int = 200) -> DataFrame:
     """One flattening level: explode the FIRST array column (the reference
     explodes one at a time, json_to_dataframe.py:88-93), then expand all
     struct/map columns with parent_child names."""
@@ -54,21 +73,26 @@ def flatten_once(df: DataFrame) -> DataFrame:
                     F.col(f"`{name}`.`{sub.name}`").alias(f"{name}_{sub.name}")
                 )
         elif isinstance(f.dataType, T.MapType):
-            # maps are flattened by exploding into key/value columns with
-            # the parent prefix (the reference treats maps like structs
-            # after a map_entries-style expansion)
-            cols.append(F.map_keys(F.col(f"`{name}`")).alias(f"{name}_keys"))
-            cols.append(F.map_values(F.col(f"`{name}`")).alias(f"{name}_values"))
+            # per-key parent_child columns, like the reference's
+            # col(name + '.*') star expansion (json_to_dataframe.py:103-111).
+            # Maps carry their key set in DATA, not schema, so the key list
+            # comes from one bounded distinct pass over the (pruned) map
+            # column; a key absent in a given row yields NULL, exactly as
+            # a missing struct field would.
+            for key in _observed_map_keys(df, name, max_map_keys):
+                cols.append(
+                    F.col(f"`{name}`").getItem(key).alias(f"{name}_{key}")
+                )
         else:
             cols.append(F.col(f"`{name}`"))
     return df.select(*cols)
 
 
-def flatten(df: DataFrame, max_depth: int = 32) -> DataFrame:
+def flatten(df: DataFrame, max_depth: int = 32, max_map_keys: int = 200) -> DataFrame:
     """Flatten until no nested types remain (json_to_dataframe.py:114's
     recursion), depth-capped for safety."""
     depth = 0
     while has_nested(df) and depth < max_depth:
-        df = flatten_once(df)
+        df = flatten_once(df, max_map_keys=max_map_keys)
         depth += 1
     return df

@@ -10,12 +10,13 @@ Design:
 - ``score_stream``: stateless scoring — pure projection, so it attaches
   to any streaming DataFrame with no state store and no shuffle.
 - ``filtered_writer``: ``foreachBatch`` sink reusing the batch
-  pipeline's partitioned-write layout (keep/bucket) so downstream
-  consumers see one table regardless of ingestion mode.  Each
-  micro-batch appends with its batch id as ``run_id`` → exactly-once
-  per epoch via the streaming checkpoint + idempotent dynamic
-  partition overwrite is NOT needed (append + dedup on
-  (conv_id, turn_idx) at read or compaction time).
+  pipeline's partitioned-write layout (keep/bucket), prefixed with a
+  per-epoch ``run_id=stream-{batch_id}`` partition.  Each micro-batch
+  DYNAMICALLY OVERWRITES its own run_id partitions, so a replayed
+  epoch (failure after write, before checkpoint commit) rewrites the
+  same partitions instead of appending duplicates — exactly-once per
+  epoch, given the source's deterministic epoch replay (which the
+  streaming checkpoint guarantees for replayable sources).
 - ``windowed_drop_metrics``: watermarked per-window drop-reason counts
   — the streaming analogue of the metrics table (late turns beyond the
   watermark are dropped from metrics, never from data).
@@ -45,8 +46,16 @@ def score_stream(
 
 
 def filtered_writer(output_dir: str):
-    """``foreachBatch`` function writing each scored micro-batch in the
-    batch pipeline's (keep, bucket) partition layout."""
+    """``foreachBatch`` function writing each scored micro-batch under a
+    ``run_id=stream-{batch_id}`` partition in the batch pipeline's
+    (keep, bucket) layout.
+
+    Idempotent replay: ``overwrite`` + dynamic partitionOverwriteMode
+    only replaces the partitions PRESENT in this batch — i.e. exactly
+    this epoch's ``run_id`` subtree.  A micro-batch retried after a
+    crash overwrites its own earlier (possibly partial) output instead
+    of appending a second copy, which is what makes the sink
+    exactly-once per epoch."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         out_cols = [
@@ -57,8 +66,9 @@ def filtered_writer(output_dir: str):
         (
             batch_df.select(*out_cols)
             .withColumn("run_id", F.lit(f"stream-{batch_id}"))
-            .write.partitionBy("keep", "bucket")
-            .mode("append")
+            .write.partitionBy("run_id", "keep", "bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(f"{output_dir}/scored")
         )
 

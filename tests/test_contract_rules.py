@@ -182,3 +182,17 @@ def test_normalize_column_names(spark):
 
 def test_datatype_dispatch_unknown_type():
     assert C.datatype_fail_expr("geography", F.col("x")) is None
+
+
+def test_duplicate_fail_hash_key_null_vs_empty(spark):
+    from dp_data_quality_spark.rules import contract as C
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", ""), (3, "a", None), (4, "ab", "c"), (5, "a", "bc")],
+        "rid int, x string, y string",
+    )
+    out = df.select("rid", C.duplicate_fail(df, ["x", "y"], "rid").alias("dup"))
+    got = {r.rid: r.dup for r in out.collect()}
+    # null and '' are DIFFERENT contents; (3) is the only non-first copy;
+    # ('ab','c') vs ('a','bc') must not collide across the field boundary
+    assert got == {1: False, 2: False, 3: True, 4: False, 5: False}

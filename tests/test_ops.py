@@ -252,6 +252,53 @@ def test_json_flatten_nested(spark):
     assert rows[0].meta_b_c == "x"
 
 
+def test_json_flatten_map_per_key_columns(spark):
+    # MapType flattens to per-key parent_child columns — the reference's
+    # star-expansion shape (json_to_dataframe.py:103-111), NOT
+    # _keys/_values arrays.  Missing keys become NULL per row.
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+    ])
+    df = spark.createDataFrame(
+        [(1, {"color": "red", "size": "L"}), (2, {"color": "blue"}), (3, None)],
+        schema,
+    )
+    from dp_data_quality_spark.sources.json_flatten import flatten, has_nested
+
+    flat = flatten(df)
+    assert not has_nested(flat)
+    assert flat.columns == ["id", "props_color", "props_size"]
+    rows = {r.id: r for r in flat.collect()}
+    assert (rows[1].props_color, rows[1].props_size) == ("red", "L")
+    assert (rows[2].props_color, rows[2].props_size) == ("blue", None)
+    assert (rows[3].props_color, rows[3].props_size) == (None, None)
+
+    # nested map values keep flattening recursively
+    schema2 = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("m", T.MapType(
+            T.StringType(),
+            T.StructType([T.StructField("v", T.LongType())]),
+        )),
+    ])
+    df2 = spark.createDataFrame([(1, {"k": (7,)})], schema2)
+    flat2 = flatten(df2)
+    assert flat2.columns == ["id", "m_k_v"]
+    assert flat2.first().m_k_v == 7
+
+    # unbounded key domains fail loudly instead of exploding the schema
+    import pytest as _pytest
+
+    wide = spark.createDataFrame(
+        [(i, {f"k{i}": "v"}) for i in range(10)], schema
+    )
+    with _pytest.raises(ValueError, match="distinct keys"):
+        flatten(wide, max_map_keys=5)
+
+
 # --- clustering ----------------------------------------------------------
 
 def test_kmeans_converges_and_is_deterministic(spark, vecs):

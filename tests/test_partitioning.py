@@ -58,3 +58,16 @@ def test_salted_left_join(spark):
     plain = left.join(right, on="k", how="left").select("k", "r")
     salted = salted_join(left, right, on="k", n_salts=4, how="left").select("k", "r")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    import pytest
+    from dp_data_quality_spark.ops.partitioning import salted_join
+
+    l = spark.createDataFrame([(1, "a")], ["k", "v"])
+    r = spark.createDataFrame([(1, "b")], ["k", "w"])
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(l, r, on="k", how=how)
+    # accepted spellings still work
+    assert salted_join(l, r, on="k", how="left_outer").count() == 1

@@ -186,3 +186,12 @@ def test_crash_between_data_and_metrics_is_idempotent(spark, transcripts, tmp_pa
     assert kept2 == baseline
     m = spark.read.parquet(res2.metrics_path)
     assert m.groupBy("partition_key").count().filter("count > 1").count() == 0
+
+
+def test_empty_input_returns_clean_result(spark, transcripts, tmp_path):
+    # a fresh run over zero rows must not attempt the metrics read
+    # (no part files are committed -> schema inference would fail)
+    empty = transcripts.filter(F.lit(False))
+    res = run_pipeline(spark, empty, str(tmp_path / "out"), n_buckets=4, run_id="r0")
+    assert res.buckets_processed == 0
+    assert res.buckets_skipped == 0

@@ -32,7 +32,7 @@ def test_report_schema_and_hits(spark):
     report = build_quality_report(
         _data(spark), _config(), table_name="t", key_cols=["k"]
     )
-    assert report.columns == REPORT_COLUMNS
+    assert report.columns == ["DQ_REPORT_ID"] + REPORT_COLUMNS
     rows = report.collect()
     hits = {(r.VALIDATION_ID, r.COLUMN_NAME, r.PRIMARY_KEY_VALUE) for r in rows}
 
@@ -68,6 +68,29 @@ def test_report_clean_table_is_empty(spark):
     config = RulesConfig(columns=[ColumnSpec("k", "string"), ColumnSpec("num_col", "integer")])
     report = build_quality_report(df, config, table_name="t", key_cols=["k"])
     assert report.count() == 0
+
+
+def test_report_id_surrogate(spark):
+    # DQ_REPORT_ID matches the reference's np.arange(1, len+1) surrogate
+    # (quality_report.py:207-208): dense 1-based ints over a deterministic
+    # total order, identical across reruns.
+    report = build_quality_report(
+        _data(spark), _config(), table_name="t", key_cols=["k"]
+    )
+    ids = sorted(r.DQ_REPORT_ID for r in report.collect())
+    assert ids == list(range(1, len(ids) + 1))
+    again = build_quality_report(
+        _data(spark), _config(), table_name="t", key_cols=["k"]
+    )
+    key = lambda rows: {r.DQ_REPORT_ID: (r.VALIDATION_ID, r.COLUMN_NAME,
+                                         r.PRIMARY_KEY_VALUE) for r in rows}
+    assert key(report.collect()) == key(again.collect())
+    # opt-out path for huge reports
+    no_id = build_quality_report(
+        _data(spark), _config(), table_name="t", key_cols=["k"],
+        include_report_id=False,
+    )
+    assert no_id.columns == REPORT_COLUMNS
 
 
 def test_report_synthetic_row_id(spark):

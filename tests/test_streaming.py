@@ -105,3 +105,28 @@ def test_windowed_metrics_values_match_batch(spark, staged_input):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_replayed_micro_batch_is_idempotent(spark, staged_input, tmp_path):
+    # A foreachBatch retry re-invokes the writer with the SAME batch_id
+    # (checkpoint not yet committed).  Dynamic overwrite of the epoch's
+    # run_id partitions must leave zero duplicate (conv_id, turn_idx).
+    from dp_data_quality_spark.streaming.stream_filter import filtered_writer
+
+    path, n_rows = staged_input
+    scored = score_turns(spark.read.parquet(path), spark, CFG)
+    from dp_data_quality_spark.pipeline import with_bucket
+
+    batch = with_bucket(scored, 4) if "bucket" not in scored.columns else scored
+    write = filtered_writer(str(tmp_path / "out"))
+    write(batch, 7)
+    write(batch, 7)  # replay of the same epoch
+
+    written = spark.read.parquet(str(tmp_path / "out") + "/scored")
+    assert written.count() == n_rows
+    dups = (
+        written.groupBy("conv_id", "turn_idx")
+        .count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+    assert {r.run_id for r in written.select("run_id").distinct().collect()} == {"stream-7"}
