@@ -985,12 +985,13 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = F.col("text")
-    w = TS.words(t)
-    scored = corpus.withColumn("__w", w).select(
+    from dp_data_quality_spark.ops.dedup import normalize_text
+
+    scored = corpus.withColumn("__n", normalize_text(t)).select(
         "doc_id", "text",
-        TS.quality_score_w(t, F.col("__w")).alias("quality_score"),
-        TS.lang_guess_w(F.col("__w")).alias("lang_guess"),
-        TS.fingerprint_hex(t).alias("fp"),
+        TS._quality_score(t, F.col("__n")).alias("quality_score"),
+        TS._lang_guess(F.col("__n")).alias("lang_guess"),
+        F.md5(F.col("__n")).alias("fp"),
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (

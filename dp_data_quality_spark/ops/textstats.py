@@ -29,50 +29,72 @@ LANG_ORDER = tuple(sorted(STOPWORDS))  # deterministic tie-break order
 
 
 def words(c: Column) -> Column:
+    """Word array of normalized text — utility API.  The stats pipeline
+    below never materializes this array: every word-derived feature is
+    computed from the normalized STRING with length/translate/
+    regexp_count arithmetic, because higher-order-function lambdas
+    (filter/aggregate/transform) evaluate interpreted per element while
+    the string ops stay inside whole-stage codegen (measured ~2× on the
+    per-document stats query; see docs/PERF.md)."""
     w = F.split(normalize_text(c), " ")
     return F.filter(w, lambda x: F.length(x) > 0)
 
 
-# --- words-array-based variants (compute the split ONCE per row) ---------
-# The scalar helpers below re-derive the word array from text for API
-# convenience; in a wide per-document stats projection that is 6-8
-# redundant splits per row.  `add_text_stats` materializes the array in
-# one projection and feeds these *_w variants.
+# --- normalized-string kernels (no arrays, no HOF lambdas) ---------------
+# After normalize_text, words are single-space separated with no leading/
+# trailing space, so: n_words = spaces + 1, total word chars = chars
+# minus spaces, and stopword hits are whole-token regexp matches.  These
+# identities make every word feature a pure string-arithmetic expression
+# with values IDENTICAL to the array formulation (pinned by tests and
+# the unchanged DuckDB oracle, which still uses the list form).
 
-def stopword_hits_w(w: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(x) for x in STOPWORDS[lang]])
-    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+def _n_words(n: Column) -> Column:
+    return F.when(
+        F.length(n) == 0, F.lit(0)
+    ).otherwise(F.length(n) - F.length(F.translate(n, " ", "")) + 1)
 
 
-def lang_guess_w(w: Column) -> Column:
-    best = None
-    for lang in LANG_ORDER:
-        h = stopword_hits_w(w, lang)
-        if best is None:
-            best = F.struct(h.alias("h"), F.lit(lang).alias("lang"))
-        else:
-            best = F.when(
-                h > best["h"], F.struct(h.alias("h"), F.lit(lang).alias("lang"))
-            ).otherwise(best)
+def _stop_pattern(lang: str) -> str:
+    return "(?:^| )(?:" + "|".join(STOPWORDS[lang]) + ")(?= |$)"
+
+
+def _stop_hits(n: Column, lang: str) -> Column:
+    return F.regexp_count(n, F.lit(_stop_pattern(lang)))
+
+
+def _mean_word_len(n: Column) -> Column:
+    nw = _n_words(n)
+    chars = F.length(F.translate(n, " ", ""))
+    return F.when(nw == 0, 0.0).otherwise(chars / nw.cast("double"))
+
+
+def _stop_ratio(n: Column, lang: str = "en") -> Column:
+    nw = _n_words(n)
+    return F.when(nw == 0, 0.0).otherwise(_stop_hits(n, lang) / nw.cast("double"))
+
+
+def _lang_guess(n: Column) -> Column:
+    # argmax via array_max over (hits, -order, lang) structs: lexicographic
+    # struct ordering gives "first language in LANG_ORDER wins ties" for
+    # free, and the expression tree stays linear (a nested when-chain
+    # copies the accumulated subtree per language).
+    cands = F.array(*[
+        F.struct(
+            _stop_hits(n, lang).alias("h"),
+            F.lit(-i).alias("nrk"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_ORDER)
+    ])
+    best = F.array_max(cands)
     return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def mean_word_len_w(w: Column) -> Column:
-    n = F.size(w)
-    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.when(n == 0, 0.0).otherwise(total / n.cast("double"))
-
-
-def stopword_ratio_w(w: Column, lang: str = "en") -> Column:
-    n = F.size(w)
-    return F.when(n == 0, 0.0).otherwise(stopword_hits_w(w, lang) / n.cast("double"))
-
-
-def quality_score_w(c: Column, w: Column) -> Column:
-    mwl = mean_word_len_w(w)
+def _quality_score(c: Column, n: Column) -> Column:
+    mwl = _mean_word_len(n)
     s = (
         0.4 * alpha_ratio(c)
-        + 0.3 * stopword_ratio_w(w)
+        + 0.3 * _stop_ratio(n)
         + 0.2 * (1.0 - digit_ratio(c))
         + 0.1 * F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0)
     )
@@ -80,54 +102,79 @@ def quality_score_w(c: Column, w: Column) -> Column:
 
 
 def add_text_stats(df, text_col: str = "text", out_prefix: str = ""):
-    """One projection computing every per-document text statistic with a
-    single word-split.  Column values are identical to the scalar
-    helpers (same expressions over the same array)."""
+    """Two stacked projections computing every per-document text
+    statistic — no word arrays anywhere.  The first materializes each
+    expensive scan of the text exactly once (normalize, per-language
+    stopword counts, char-class ratios, word arithmetic); the second is
+    pure arithmetic over those scalars.  Column values are identical to
+    the scalar helpers (same kernels, same rounding)."""
     t = F.col(text_col)
-    df = df.withColumn("__w", words(t))
-    w = F.col("__w")
-    p = out_prefix
-    return df.select(
+    df = df.withColumn("__n", normalize_text(t))
+    n = F.col("__n")
+    base = df.select(
         "*",
-        F.length(t).alias(f"{p}n_chars_m"),
-        F.size(w).alias(f"{p}n_words"),
-        token_count(t).alias(f"{p}n_tokens"),
-        F.round(alpha_ratio(t), 6).alias(f"{p}alpha_ratio"),
-        F.round(digit_ratio(t), 6).alias(f"{p}digit_ratio"),
-        F.round(stopword_ratio_w(w), 6).alias(f"{p}stopword_ratio"),
-        F.round(mean_word_len_w(w), 6).alias(f"{p}mean_word_len"),
-        quality_score_w(t, w).alias(f"{p}quality_score"),
-        lang_guess_w(w).alias(f"{p}lang_guess"),
-        fingerprint_hex(t).alias(f"{p}fingerprint"),
-    ).drop("__w")
+        F.length(t).alias("__len"),
+        _n_words(n).alias("__nw"),
+        F.length(F.translate(n, " ", "")).alias("__cns"),
+        token_count(t).alias("__tok"),
+        alpha_ratio(t).alias("__alpha"),
+        digit_ratio(t).alias("__digit"),
+        F.md5(n).alias("__fp"),
+        *[_stop_hits(n, lang).alias(f"__h_{lang}") for lang in LANG_ORDER],
+    )
+    nw = F.col("__nw")
+    swr = F.when(nw == 0, 0.0).otherwise(F.col("__h_en") / nw.cast("double"))
+    mwl = F.when(nw == 0, 0.0).otherwise(F.col("__cns") / nw.cast("double"))
+    q = F.round(
+        0.4 * F.col("__alpha") + 0.3 * swr + 0.2 * (1.0 - F.col("__digit"))
+        + 0.1 * F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0),
+        6,
+    )
+    cands = F.array(*[
+        F.struct(
+            F.col(f"__h_{lang}").alias("h"),
+            F.lit(-i).alias("nrk"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_ORDER)
+    ])
+    best = F.array_max(cands)
+    guess = F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    p = out_prefix
+    out = base.select(
+        "*",
+        F.col("__len").alias(f"{p}n_chars_m"),
+        nw.alias(f"{p}n_words"),
+        F.col("__tok").alias(f"{p}n_tokens"),
+        F.round(F.col("__alpha"), 6).alias(f"{p}alpha_ratio"),
+        F.round(F.col("__digit"), 6).alias(f"{p}digit_ratio"),
+        F.round(swr, 6).alias(f"{p}stopword_ratio"),
+        F.round(mwl, 6).alias(f"{p}mean_word_len"),
+        q.alias(f"{p}quality_score"),
+        guess.alias(f"{p}lang_guess"),
+        F.col("__fp").alias(f"{p}fingerprint"),
+    )
+    helper = [c for c in out.columns if c.startswith("__")]
+    return out.drop(*helper)
 
 
 def token_count(c: Column) -> Column:
-    """BPE-ish token count via regexp extraction."""
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0))
+    """BPE-ish token count — counts matches without materializing them."""
+    return F.regexp_count(c, F.lit(TOKEN_PATTERN))
 
 
 def word_count(c: Column) -> Column:
-    return F.size(words(c))
+    return _n_words(normalize_text(c))
 
 
 def stopword_hits(c: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(words(c), lambda x: F.array_contains(sw, x)))
+    return _stop_hits(normalize_text(c), lang)
 
 
 def lang_guess(c: Column) -> Column:
     """argmax over per-language stopword hit counts; ties → first language
     in sorted order; zero hits everywhere → 'und'."""
-    hits = {lang: stopword_hits(c, lang) for lang in LANG_ORDER}
-    best = None
-    for lang in LANG_ORDER:
-        h = hits[lang]
-        if best is None:
-            best = F.struct(h.alias("h"), F.lit(lang).alias("lang"))
-        else:
-            best = F.when(h > best["h"], F.struct(h.alias("h"), F.lit(lang).alias("lang"))).otherwise(best)
-    return F.when(best["h"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return _lang_guess(normalize_text(c))
 
 
 def alpha_ratio(c: Column) -> Column:
@@ -143,28 +190,18 @@ def digit_ratio(c: Column) -> Column:
 
 
 def stopword_ratio(c: Column, lang: str = "en") -> Column:
-    n = word_count(c)
-    return F.when(n == 0, 0.0).otherwise(stopword_hits(c, lang) / n.cast("double"))
+    return _stop_ratio(normalize_text(c), lang)
 
 
 def mean_word_len(c: Column) -> Column:
-    w = words(c)
-    n = F.size(w)
-    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.when(n == 0, 0.0).otherwise(total / n.cast("double"))
+    return _mean_word_len(normalize_text(c))
 
 
 def quality_score(c: Column) -> Column:
     """Composite [0,1] quality score: rewards alphabetic, stopword-bearing,
     medium-word-length text; penalizes digit soup.  Weights are part of
     the operator contract (mirrored in the oracle)."""
-    s = (
-        0.4 * alpha_ratio(c)
-        + 0.3 * stopword_ratio(c)
-        + 0.2 * (1.0 - digit_ratio(c))
-        + 0.1 * F.when((mean_word_len(c) >= 3) & (mean_word_len(c) <= 10), 1.0).otherwise(0.0)
-    )
-    return F.round(s, 6)
+    return _quality_score(c, normalize_text(c))
 
 
 def fingerprint(c: Column) -> Column:
