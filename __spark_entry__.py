@@ -1071,7 +1071,9 @@ FROM documents
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative distributed k-means (Lloyd's, 5 iterations) over the
     embeddings table; per-cluster sizes + mean intra-cluster distance.
-    Iterative / driver-coordinated → not SQL-expressible → rows-only."""
+    The oracle unrolls the same 5 Lloyd iterations as nested DuckDB CTEs
+    (same init, same left-assoc distance chains, same tie-breaks), so
+    even this iterative algorithm is value-checked end-to-end."""
     _prep(spark)
     from dp_data_quality_spark.ops.clustering import kmeans
 
@@ -1086,10 +1088,74 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_embedding_kmeans(k: int = 10, n_iter: int = 5, dim: int = 64) -> str:
+    """Lloyd's unrolled as CTE layers: assignment i = argmin over k
+    centroid distances (row_number tie-broken on (dist, cid) exactly like
+    Spark's array_min over (d, cid) structs); centroid update i =
+    per-dimension avg.  Distances are the same left-associative
+    power((e[i]-c[i]), 2) chains as ops/clustering._sq_dist, so values
+    agree bit-for-bit pre-rounding."""
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"power(CAST({e}.embedding[{i}] AS DOUBLE) - CAST({c}.embedding[{i}] AS DOUBLE), 2)"
+            for i in range(1, dim + 1)
+        )
+
+    d = dist("e", "c")
+    avg_list = "[" + ", ".join(
+        f"avg(CAST(embedding[{i}] AS DOUBLE))" for i in range(1, dim + 1)
+    ) + "]"
+    ctes = [f"c0 AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {k})"]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, embedding, cid AS cluster FROM ("
+            f"SELECT e.vec_id, e.embedding, c.cid, "
+            f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn "
+            f"FROM embeddings e CROSS JOIN c{it - 1} c) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cluster AS cid, {avg_list} AS embedding "
+            f"FROM a{it} GROUP BY cluster)"
+        )
+    ctes.append(
+        f"afinal AS (SELECT vec_id, cid AS cluster, d AS sq_dist FROM ("
+        f"SELECT e.vec_id, c.cid, {d} AS d, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn "
+        f"FROM embeddings e CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_members, "
+        "round(avg(sq_dist), 6) AS mean_sq_dist FROM afinal GROUP BY cluster"
+    )
+
+
+# Pinned oracle for the pandas-UDF pipeline: the input is the seeded
+# deterministic synthetic corpus (300 convs, seed 42 — independent of
+# sf_dir), so the per-reason drop counts are constants of the engine
+# code itself.  tests/test_pipeline.py::test_transcripts_pipeline_pinned
+# recomputes them, so any scoring change trips the test before the
+# driver's oracle gate ever sees a stale pin.
+TRANSCRIPTS_PIPELINE_PINNED: list[tuple[str | None, int]] = [
+    ("boilerplate", 200),
+    ("high_perplexity", 736),
+    ("high_repetition", 418),
+    ("high_symbol_ratio", 187),
+    ("lang_mismatch", 746),
+    ("null_text", 98),
+    ("too_few_words", 97),
+    ("too_long", 61),
+    ("too_short", 205),
+    (None, 3584),  # kept rows: explode_outer emits NULL for empty reason arrays
+]
+
+
 def q_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule stack (langid + perplexity + heuristics + scrub)
     over deterministic synthetic transcripts; per-reason drop counts.
-    Not SQL-expressible (broadcast-model pandas UDFs) → rows-only check."""
+    The broadcast-model pandas UDFs aren't SQL-expressible, but the
+    seeded input makes the output a constant — checked against the
+    pinned oracle (see TRANSCRIPTS_PIPELINE_PINNED)."""
     _prep(spark)
     from dp_data_quality_spark.pipeline import score_turns
     from dp_data_quality_spark.synth import strip_truth, transcripts
@@ -1101,6 +1167,15 @@ def q_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .count()
     )
+
+
+def _sql_transcripts_pipeline() -> str:
+    rows = ", ".join(
+        ("(CAST(NULL AS VARCHAR), " if reason is None else f"('{reason}', ")
+        + f"CAST({n} AS BIGINT))"
+        for reason, n in TRANSCRIPTS_PIPELINE_PINNED
+    )
+    return f'SELECT * FROM (VALUES {rows}) t(reason, "count")'
 
 
 # === registry =============================================================
@@ -1164,6 +1239,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _sql_corpus_curation(),
         "embedding_neardup": _sql_embedding_neardup(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
-        # embedding_kmeans: intentionally omitted (iterative algorithm)
-        # transcripts_pipeline: intentionally omitted (pandas-UDF models)
+        "embedding_kmeans": _sql_embedding_kmeans(),
+        "transcripts_pipeline": _sql_transcripts_pipeline(),
     }

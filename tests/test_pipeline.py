@@ -195,3 +195,20 @@ def test_empty_input_returns_clean_result(spark, transcripts, tmp_path):
     res = run_pipeline(spark, empty, str(tmp_path / "out"), n_buckets=4, run_id="r0")
     assert res.buckets_processed == 0
     assert res.buckets_skipped == 0
+
+
+def test_transcripts_pipeline_pinned(spark):
+    # the driver oracle for transcripts_pipeline is a pinned VALUES table
+    # (the seeded synthetic input makes the output a constant); recompute
+    # it here so any scoring-semantics drift fails CI before the driver
+    # ever compares against a stale pin.
+    import __spark_entry__ as E
+
+    got = sorted(
+        ((r.reason, r["count"]) for r in
+         E.q_transcripts_pipeline(spark, "unused").collect()),
+        key=lambda t: (t[0] is None, t[0] or ""),
+    )
+    assert got == sorted(
+        E.TRANSCRIPTS_PIPELINE_PINNED, key=lambda t: (t[0] is None, t[0] or "")
+    )
