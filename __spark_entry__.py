@@ -987,11 +987,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     from dp_data_quality_spark.ops.dedup import normalize_text
 
-    scored = corpus.withColumn("__n", normalize_text(t)).select(
-        "doc_id", "text",
-        TS._quality_score(t, F.col("__n")).alias("quality_score"),
-        TS._lang_guess(F.col("__n")).alias("lang_guess"),
-        F.md5(F.col("__n")).alias("fp"),
+    scored = (
+        corpus.withColumn("__n", normalize_text(t))
+        .withColumn("__w", F.trim(F.col("__n")))  # TS._wordform
+        .select(
+            "doc_id", "text",
+            TS._quality_score(t, F.col("__w")).alias("quality_score"),
+            TS._lang_guess(F.col("__w")).alias("lang_guess"),
+            F.md5(F.col("__n")).alias("fp"),
+        )
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     return (

@@ -70,7 +70,22 @@ def _report_cmd(args: argparse.Namespace) -> int:
     else:
         report.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
-    print(json.dumps({"report_path": args.output, "report_rows": n}))
+    marker = None
+    if n == 0:
+        # reference parity: a clean table produces a human-readable
+        # "no issues" text artifact instead of a report
+        # (quality_report.py:220-227 writes the same message to S3)
+        import datetime
+        import pathlib
+
+        now = datetime.date.today().isoformat()
+        marker = str(pathlib.Path(args.output) / "_NO_ISSUES.txt")
+        pathlib.Path(marker).write_text(
+            f"As of {now}, {args.table_name} does not have any data "
+            "quality issues."
+        )
+    print(json.dumps({"report_path": args.output, "report_rows": n,
+                      "no_issues_marker": marker}))
     return 0
 
 

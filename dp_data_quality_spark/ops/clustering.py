@@ -57,14 +57,14 @@ def assign_clusters(
     )
 
 
-def kmeans(
+def kmeans_fit(
     df: DataFrame,
     k: int = 10,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, list[float]]:
-    """Lloyd's iterations; returns (final assignments, per-iteration SSE).
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Lloyd's iterations; returns (final centroids, per-iteration SSE).
 
     Centroid update: posexplode dimensions → avg per (cluster, dim) →
     collect k×dim to the driver (tiny) for the next iteration's
@@ -99,4 +99,16 @@ def kmeans(
         assigned.unpersist()
         centroids = [(r.cluster, list(r.centroid)) for r in new_rows]
 
+    return centroids, sses
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means; returns (final assignments, per-iteration SSE)."""
+    centroids, sses = kmeans_fit(df, k, n_iter, id_col, vec_col)
     return assign_clusters(df, centroids, id_col, vec_col), sses

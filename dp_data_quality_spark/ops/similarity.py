@@ -131,20 +131,30 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into ``n_centroids``
     inverted lists, probe the query's ``n_probe`` nearest lists only.
 
-    Centroids here are the first ``n_centroids`` corpus vectors
-    (deterministic sampled-centroid IVF — the k-means refinement is an
-    offline concern; the query-time plan is identical).  At 100 TB the
-    wins are structural: the corpus is clustered ONCE (a write-time
-    partition-by-cluster), each query scans ~n_probe/n_centroids of the
-    data, and the centroid table is a broadcast.  Same output shape as
-    cosine_topk; recall < 1 by design."""
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
-    )
+    Default centroids are the first ``n_centroids`` corpus vectors
+    (deterministic sampled-centroid IVF); pass ``centroids`` —
+    e.g. from ``clustering.kmeans_fit`` via ``ivf_kmeans_ann_topk`` —
+    for trained coarse quantization (tighter lists → better recall at
+    the same n_probe).  At 100 TB the wins are structural either way:
+    the corpus is clustered ONCE (a write-time partition-by-cluster),
+    each query scans ~n_probe/n_centroids of the data, and the centroid
+    table is a broadcast.  Same output shape as cosine_topk; recall < 1
+    by design."""
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cent_id int, cent_emb array<double>",
+        )
+    else:
+        cents = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
+        )
 
     def assign(df: DataFrame, id_alias: str, emb_alias: str, probes: int) -> DataFrame:
         scored = df.select(
@@ -181,6 +191,30 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def ivf_kmeans_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with TRAINED coarse centroids: fit Lloyd's k-means on the
+    corpus (``clustering.kmeans_fit`` — broadcast centroids, one narrow
+    scan per iteration, only k×dim to the driver), then run the same
+    inverted-list probe plan over the fitted centroids.  The fit is the
+    offline build step of a production IVF index; query-time cost is
+    identical to ``ivf_ann_topk``."""
+    from .clustering import kmeans_fit
+
+    centroids, _ = kmeans_fit(corpus, k=n_centroids, n_iter=n_iter,
+                              id_col=id_col, vec_col=vec_col)
+    return ivf_ann_topk(corpus, queries, k, n_centroids, n_probe,
+                        id_col, vec_col, centroids=centroids)
 
 
 def lsh_ann_topk(

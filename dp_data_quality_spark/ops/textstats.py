@@ -41,12 +41,20 @@ def words(c: Column) -> Column:
 
 
 # --- normalized-string kernels (no arrays, no HOF lambdas) ---------------
-# After normalize_text, words are single-space separated with no leading/
-# trailing space, so: n_words = spaces + 1, total word chars = chars
-# minus spaces, and stopword hits are whole-token regexp matches.  These
-# identities make every word feature a pure string-arithmetic expression
-# with values IDENTICAL to the array formulation (pinned by tests and
-# the unchanged DuckDB oracle, which still uses the list form).
+# The kernels expect the TRIMMED collapsed form (``_wordform``):
+# normalize_text collapses interior whitespace but its leading ``trim``
+# only strips 0x20, so text edged with tabs/newlines normalizes to
+# ' a b ' — one extra trim makes words exactly single-space separated
+# with no edge spaces.  Then: n_words = spaces + 1, total word chars =
+# chars minus spaces, and stopword hits are whole-token regexp matches.
+# These identities make every word feature a pure string-arithmetic
+# expression with values IDENTICAL to the array formulation (which
+# filtered empty tokens; pinned by the property test and the unchanged
+# DuckDB oracle, which still uses the list form).
+
+def _wordform(c: Column) -> Column:
+    return F.trim(normalize_text(c))
+
 
 def _n_words(n: Column) -> Column:
     return F.when(
@@ -109,8 +117,10 @@ def add_text_stats(df, text_col: str = "text", out_prefix: str = ""):
     pure arithmetic over those scalars.  Column values are identical to
     the scalar helpers (same kernels, same rounding)."""
     t = F.col(text_col)
-    df = df.withColumn("__n", normalize_text(t))
-    n = F.col("__n")
+    df = df.withColumn("__n", normalize_text(t)).withColumn(
+        "__w", F.trim(F.col("__n"))  # _wordform; __n kept for fingerprint
+    )
+    n = F.col("__w")
     base = df.select(
         "*",
         F.length(t).alias("__len"),
@@ -119,7 +129,7 @@ def add_text_stats(df, text_col: str = "text", out_prefix: str = ""):
         token_count(t).alias("__tok"),
         alpha_ratio(t).alias("__alpha"),
         digit_ratio(t).alias("__digit"),
-        F.md5(n).alias("__fp"),
+        F.md5(F.col("__n")).alias("__fp"),
         *[_stop_hits(n, lang).alias(f"__h_{lang}") for lang in LANG_ORDER],
     )
     nw = F.col("__nw")
@@ -164,17 +174,17 @@ def token_count(c: Column) -> Column:
 
 
 def word_count(c: Column) -> Column:
-    return _n_words(normalize_text(c))
+    return _n_words(_wordform(c))
 
 
 def stopword_hits(c: Column, lang: str) -> Column:
-    return _stop_hits(normalize_text(c), lang)
+    return _stop_hits(_wordform(c), lang)
 
 
 def lang_guess(c: Column) -> Column:
     """argmax over per-language stopword hit counts; ties → first language
     in sorted order; zero hits everywhere → 'und'."""
-    return _lang_guess(normalize_text(c))
+    return _lang_guess(_wordform(c))
 
 
 def alpha_ratio(c: Column) -> Column:
@@ -190,18 +200,18 @@ def digit_ratio(c: Column) -> Column:
 
 
 def stopword_ratio(c: Column, lang: str = "en") -> Column:
-    return _stop_ratio(normalize_text(c), lang)
+    return _stop_ratio(_wordform(c), lang)
 
 
 def mean_word_len(c: Column) -> Column:
-    return _mean_word_len(normalize_text(c))
+    return _mean_word_len(_wordform(c))
 
 
 def quality_score(c: Column) -> Column:
     """Composite [0,1] quality score: rewards alphabetic, stopword-bearing,
     medium-word-length text; penalizes digit soup.  Weights are part of
     the operator contract (mirrored in the oracle)."""
-    return _quality_score(c, normalize_text(c))
+    return _quality_score(c, _wordform(c))
 
 
 def fingerprint(c: Column) -> Column:

@@ -85,3 +85,32 @@ def test_rules_config_from_reference_csv(tmp_path):
     assert by_name["user_id"].is_pii and not by_name["user_id"].nullable
     assert by_name["email"].length_total == 254          # float-formatted length
     assert by_name["weird_col"].data_type is None        # unknown type → skipped
+
+
+def test_cli_report_no_issues_marker(spark, tmp_path, capsys):
+    import json as _json
+
+    from dp_data_quality_spark.__main__ import main
+    from dp_data_quality_spark.config import ColumnSpec, RulesConfig
+
+    clean = str(tmp_path / "clean.parquet")
+    spark.createDataFrame([("k1", "1"), ("k2", "2")], ["k", "num_col"]) \
+        .write.parquet(clean)
+    rules = tmp_path / "rules.json"
+    RulesConfig(columns=[
+        ColumnSpec("k", data_type="string"),
+        ColumnSpec("num_col", data_type="integer"),
+    ]).to_json(rules)
+    out = str(tmp_path / "report")
+    rc = main(["report", "--input", clean, "--output", out,
+               "--rules-config", str(rules), "--table-name", "clean_t",
+               "--key-cols", "k"])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["report_rows"] == 0
+    # reference parity (quality_report.py:220-227): clean table -> a
+    # human-readable no-issues artifact
+    marker = payload["no_issues_marker"]
+    assert marker and marker.endswith("_NO_ISSUES.txt")
+    text = open(marker).read()
+    assert "clean_t" in text and "does not have any data quality issues" in text

@@ -315,3 +315,24 @@ def test_kmeans_converges_and_is_deterministic(spark, vecs):
     assert sorted((r.vec_id, r.cluster) for r in rows) == sorted(
         (r.vec_id, r.cluster) for r in again.collect()
     )
+
+
+def test_ivf_kmeans_centroids_recall(vecs):
+    # trained coarse quantizer: recall@10 vs exact ground truth should be
+    # reasonable and the op deterministic across runs
+    queries = vecs.filter("vec_id < 5")
+    exact = {}
+    for r in S.cosine_topk(vecs, queries, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    out1 = S.ivf_kmeans_ann_topk(vecs, queries, k=10, n_centroids=4,
+                                 n_probe=2, n_iter=3).collect()
+    for r in out1:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.5  # probes half the lists on clustered data
+    out2 = S.ivf_kmeans_ann_topk(vecs, queries, k=10, n_centroids=4,
+                                 n_probe=2, n_iter=3).collect()
+    key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank) for r in rows)
+    assert key(out1) == key(out2)

@@ -53,3 +53,68 @@ def test_conversation_state_stream(spark, tmp_path):
         assert r.max_turn_idx == mx
         assert 0.0 <= r.keep_ratio <= 1.0
         assert r.n_kept <= r.n_turns
+
+
+def test_conversation_timeout_closes_state(spark, tmp_path):
+    # processing-time session GC: a conversation with no new turns for
+    # close_after_ms emits a final closed=True row and frees its state.
+    #
+    # NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    # batches to fire pending timeouts, so `processAllAvailable()` never
+    # observes "no new data" and would block forever — the sink is
+    # POLLED with a deadline instead.
+    import time
+
+    inp = str(tmp_path / "inp")
+    (spark.createDataFrame(
+        [("a1", 0, True), ("a1", 1, False), ("a2", 0, True)],
+        "conv_id string, turn_idx int, keep boolean",
+    ).write.mode("append").parquet(inp))
+
+    schema = spark.read.parquet(inp).schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    summaries = conversation_state_stream(stream, close_after_ms=700)
+
+    out = str(tmp_path / "out")
+    q = (
+        summaries.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+
+    def rows_now():
+        try:
+            return spark.read.parquet(out).collect()
+        except Exception:
+            return []
+
+    def wait_for(pred, deadline_s=90):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            rows = rows_now()
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not met; rows={rows_now()}")
+
+    try:
+        # both conversations go quiet → timeout fires → closed rows
+        rows = wait_for(
+            lambda rs: {r.conv_id for r in rs if r.closed} >= {"a1", "a2"}
+        )
+        closed = {r.conv_id: r for r in rows if r.closed}
+        assert closed["a1"].n_turns == 2 and closed["a1"].n_kept == 1
+        assert closed["a2"].n_turns == 1
+        # a late conversation starts fresh (state was freed, not frozen)
+        (spark.createDataFrame(
+            [("b1", 0, True)], "conv_id string, turn_idx int, keep boolean",
+        ).write.mode("append").parquet(inp))
+        rows = wait_for(
+            lambda rs: any(r.conv_id == "b1" and not r.closed for r in rs)
+        )
+        b1 = [r for r in rows if r.conv_id == "b1" and not r.closed][0]
+        assert b1.n_turns == 1 and b1.n_kept == 1
+    finally:
+        q.stop()
