@@ -976,6 +976,61 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with TRAINED coarse centroids: Lloyd's k-means (16
+    centroids, 5 iterations) fits the quantizer, then the standard
+    inverted-list probe plan runs over the fitted centroids — the
+    offline-build + online-probe split of a production IVF index.  The
+    oracle composes the unrolled-k-means CTEs with the IVF probe SQL,
+    so even this two-stage operator is hash-checked end-to-end."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_kmeans_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5),
+        k=10, n_centroids=16, n_probe=2, n_iter=5,
+    )
+
+
+def _sql_ann_ivf_kmeans(n_centroids: int = 16, n_iter: int = 5) -> str:
+    c_cos = SIM.sql_cosine("v.embedding", "c.cent_emb")
+    q_cos = SIM.sql_cosine("q.embedding", "c.cent_emb")
+    sim = SIM.sql_cosine("qa.q_emb", "ca.c_emb")
+    ctes = _kmeans_ctes(n_centroids, n_iter)
+    ctes.append(
+        f"cents AS (SELECT cid AS cent_id, embedding AS cent_emb FROM c{n_iter})"
+    )
+    joined_ctes = ",\n".join(ctes)
+    return f"""
+WITH {joined_ctes},
+corpus_assign AS (
+  SELECT neighbor_id, c_emb, cent_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.embedding AS c_emb, c.cent_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY {c_cos} DESC, c.cent_id ASC) AS crank
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE crank <= 1
+),
+query_assign AS (
+  SELECT query_id, q_emb, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {q_cos} DESC, c.cent_id ASC) AS crank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {sim} AS sim
+  FROM corpus_assign ca JOIN query_assign qa ON ca.cent_id = qa.cent_id
+  WHERE ca.neighbor_id <> qa.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation over documents: quality score +
     language gate + exact-dedup keep-first, one pass + one window."""
@@ -1092,13 +1147,14 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_embedding_kmeans(k: int = 10, n_iter: int = 5, dim: int = 64) -> str:
+def _kmeans_ctes(k: int, n_iter: int, dim: int = 64) -> list[str]:
     """Lloyd's unrolled as CTE layers: assignment i = argmin over k
     centroid distances (row_number tie-broken on (dist, cid) exactly like
     Spark's array_min over (d, cid) structs); centroid update i =
     per-dimension avg.  Distances are the same left-associative
     power((e[i]-c[i]), 2) chains as ops/clustering._sq_dist, so values
-    agree bit-for-bit pre-rounding."""
+    agree bit-for-bit pre-rounding.  Returns the CTE list; the fitted
+    centroid table is ``c{n_iter}`` (cid, embedding)."""
     def dist(e: str, c: str) -> str:
         return " + ".join(
             f"power(CAST({e}.embedding[{i}] AS DOUBLE) - CAST({c}.embedding[{i}] AS DOUBLE), 2)"
@@ -1121,6 +1177,18 @@ def _sql_embedding_kmeans(k: int = 10, n_iter: int = 5, dim: int = 64) -> str:
             f"c{it} AS (SELECT cluster AS cid, {avg_list} AS embedding "
             f"FROM a{it} GROUP BY cluster)"
         )
+    return ctes
+
+
+def _sql_embedding_kmeans(k: int = 10, n_iter: int = 5, dim: int = 64) -> str:
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"power(CAST({e}.embedding[{i}] AS DOUBLE) - CAST({c}.embedding[{i}] AS DOUBLE), 2)"
+            for i in range(1, dim + 1)
+        )
+
+    d = dist("e", "c")
+    ctes = _kmeans_ctes(k, n_iter, dim)
     ctes.append(
         f"afinal AS (SELECT vec_id, cid AS cluster, d AS sq_dist FROM ("
         f"SELECT e.vec_id, c.cid, {d} AS d, "
@@ -1208,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "corpus_curation": q_corpus_curation,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal_features,
@@ -1240,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _sql_ann_bruteforce(),
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_ivf_kmeans": _sql_ann_ivf_kmeans(),
         "corpus_curation": _sql_corpus_curation(),
         "embedding_neardup": _sql_embedding_neardup(),
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

@@ -58,6 +58,8 @@ def _report_cmd(args: argparse.Namespace) -> int:
     spark = get_spark("quality-report")
     if args.rules_config.lower().endswith(".csv"):
         config = RulesConfig.from_reference_csv(args.rules_config)
+    elif args.rules_config.lower().endswith(".xlsx"):
+        config = RulesConfig.from_reference_xlsx(args.rules_config)
     else:
         config = RulesConfig.from_json(args.rules_config)
     df = spark.read.parquet(args.input)

@@ -1,7 +1,9 @@
 """Declarative rule configuration — the reference's metadata spreadsheet
-(read_data.py:123-137: XLSX sheet 'DPI-1', header=4) replaced by a plain
-dataclass/JSON config carrying the same information: per-column expected
-type, nullability, length limit, PII flags.
+(read_data.py:123-137: XLSX sheet 'DPI-1', header=4) as a plain
+dataclass carrying the same information: per-column expected type,
+nullability, length limit, PII flags.  Loadable from JSON, from the
+reference's CSV export, or DIRECTLY from the XLSX workbook (stdlib
+OOXML reader in ``sources/xlsx.py`` — no openpyxl dependency).
 """
 
 from __future__ import annotations
@@ -73,37 +75,59 @@ class RulesConfig:
         Nullable, IS_PCI, IS_PII, IS_CPNI, Data_Type_Length_Total.
         Attribute names get the reference's '.'→'_' normalization
         (read_data.py:135); unknown/blank datatypes stay None (skipped,
-        validation_rulebook.py:687).  XLSX users: export sheet 'DPI-1'
-        to CSV (openpyxl is not available in this environment)."""
+        validation_rulebook.py:687)."""
         import csv as _csv
 
-        def truthy(v: str | None) -> bool:
-            return str(v or "").strip().upper() in {"Y", "YES", "TRUE", "1"}
-
-        cols: list[ColumnSpec] = []
         with open(path, newline="") as fh:
-            for row in _csv.DictReader(fh):
-                name = (row.get("Attribute_Name") or "").strip()
-                if not name:
-                    continue
-                dtype = (row.get("Data_Type") or "").strip().lower() or None
-                if dtype is not None and dtype not in VALID_DATATYPES:
-                    dtype = None
-                raw_len = (row.get("Data_Type_Length_Total") or "").strip()
-                try:
-                    length = int(float(raw_len)) if raw_len else None
-                except ValueError:
-                    length = None
-                cols.append(ColumnSpec(
-                    attribute_name=name.replace(".", "_"),
-                    data_type=dtype,
-                    length_total=length,
-                    nullable=truthy(row.get("Nullable", "Y")),
-                    is_pii=truthy(row.get("IS_PII")),
-                    is_pci=truthy(row.get("IS_PCI")),
-                    is_cpni=truthy(row.get("IS_CPNI")),
-                ))
-        return cls(columns=cols)
+            return cls(columns=[
+                spec for row in _csv.DictReader(fh)
+                if (spec := _spec_from_record(row)) is not None
+            ])
+
+    @classmethod
+    def from_reference_xlsx(
+        cls, path: str | Path, sheet_name: str = "DPI-1", header_row: int = 4
+    ) -> "RulesConfig":
+        """Load the reference's metadata workbook DIRECTLY
+        (read_data.py:123-137: ``pd.read_excel(..., sheet_name='DPI-1',
+        header=4)``) via the stdlib OOXML reader in ``sources/xlsx.py``
+        — no openpyxl needed.  Same row semantics as the CSV path."""
+        from .sources.xlsx import read_sheet_records
+
+        return cls(columns=[
+            spec for row in read_sheet_records(path, sheet_name, header_row)
+            if (spec := _spec_from_record(row)) is not None
+        ])
+
+
+def _spec_from_record(row: dict) -> ColumnSpec | None:
+    """One metadata record (CSV DictReader row or XLSX sheet record) →
+    ColumnSpec, with the reference's normalizations: '.'→'_' names,
+    unknown datatypes skipped, Y/Yes/True/1 truthiness."""
+
+    def truthy(v) -> bool:
+        return str(v or "").strip().upper() in {"Y", "YES", "TRUE", "1"}
+
+    name = str(row.get("Attribute_Name") or "").strip()
+    if not name:
+        return None
+    dtype = str(row.get("Data_Type") or "").strip().lower() or None
+    if dtype is not None and dtype not in VALID_DATATYPES:
+        dtype = None
+    raw_len = str(row.get("Data_Type_Length_Total") or "").strip()
+    try:
+        length = int(float(raw_len)) if raw_len else None
+    except ValueError:
+        length = None
+    return ColumnSpec(
+        attribute_name=name.replace(".", "_"),
+        data_type=dtype,
+        length_total=length,
+        nullable=truthy(row.get("Nullable", "Y")),
+        is_pii=truthy(row.get("IS_PII")),
+        is_pci=truthy(row.get("IS_PCI")),
+        is_cpni=truthy(row.get("IS_CPNI")),
+    )
 
 
 @dataclass(frozen=True)

@@ -114,3 +114,53 @@ def test_cli_report_no_issues_marker(spark, tmp_path, capsys):
     assert marker and marker.endswith("_NO_ISSUES.txt")
     text = open(marker).read()
     assert "clean_t" in text and "does not have any data quality issues" in text
+
+
+def _write_min_xlsx(path, sheet_name="DPI-1"):
+    """Hand-rolled OOXML workbook: 4 title rows, header on spreadsheet
+    row 5 (pandas header=4), two metadata rows; mixes shared strings,
+    inline strings and numbers; sparse cells."""
+    import zipfile
+
+    ss = ["Attribute_Name", "Data_Type", "Nullable", "IS_PII",
+          "Data_Type_Length_Total", "cust.name", "varchar", "Y",
+          "cust.age", "integer"]
+    sst = "".join(f"<si><t>{s}</t></si>" for s in ss)
+    sheet = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>Data Product Metadata</t></is></c></row>
+<row r="5"><c r="A5" t="s"><v>0</v></c><c r="B5" t="s"><v>1</v></c><c r="C5" t="s"><v>2</v></c><c r="D5" t="s"><v>3</v></c><c r="E5" t="s"><v>4</v></c></row>
+<row r="6"><c r="A6" t="s"><v>5</v></c><c r="B6" t="s"><v>6</v></c><c r="C6" t="s"><v>7</v></c><c r="D6" t="s"><v>7</v></c><c r="E6"><v>40</v></c></row>
+<row r="7"><c r="A7" t="s"><v>8</v></c><c r="B7" t="s"><v>9</v></c></row>
+</sheetData></worksheet>"""
+    workbook = f"""<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    sstxml = f"""<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">{sst}</sst>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sstxml)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_rules_config_from_xlsx_direct(tmp_path):
+    # direct XLSX metadata read (read_data.py:123-137 semantics: sheet
+    # DPI-1, header=4, '.'->'_' attribute normalization) — stdlib only
+    from dp_data_quality_spark.config import RulesConfig
+
+    p = str(tmp_path / "meta.xlsx")
+    _write_min_xlsx(p)
+    cfg = RulesConfig.from_reference_xlsx(p)
+    assert cfg.attribute_names() == ["cust_name", "cust_age"]
+    name = cfg.spec_for("CUST_NAME")
+    assert name.data_type == "varchar" and name.nullable and name.is_pii
+    assert name.length_total == 40
+    age = cfg.spec_for("cust_age")
+    assert age.data_type == "integer" and not age.nullable and not age.is_pii
