@@ -292,6 +292,60 @@ GROUP BY user_id
 """
 
 
+def q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase event + the user's most recent click
+    at-or-before it (``ops.timeseries.asof_join`` — union + window, ONE
+    shuffle on user_id, no inequality join / row explosion).  Emits the
+    matched click id and the purchase→click lag in seconds (null when
+    the user never clicked before buying)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks,
+        on=["user_id"], ts_col="ts",
+        payload=["event_id", "ts"], tie_col="event_id",
+        prefix="click_",
+    )
+    secs = lambda c: F.col(c).cast("timestamp").cast("long")
+    return joined.select(
+        "event_id", "user_id",
+        "click_event_id",
+        (secs("ts") - secs("click_ts")).alias("lag_sec"),
+    )
+
+
+SQL_EVENTS_ASOF_CLICKS = """
+WITH u AS (
+  SELECT event_id, user_id, ts, NULL AS click_event_id, NULL AS click_ts,
+         1 AS is_left, NULL AS tie
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT NULL, user_id, ts, event_id, ts,
+         0 AS is_left, event_id AS tie
+  FROM events WHERE event_type = 'click'
+),
+w AS (
+  SELECT *,
+    last_value(click_event_id IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, tie ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_event,
+    last_value(click_ts IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts ASC, is_left ASC, tie ASC
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_ts
+  FROM u
+)
+SELECT event_id, user_id, CAST(f_event AS BIGINT) AS click_event_id,
+       CAST(floor(epoch(ts)) - floor(epoch(f_ts)) AS BIGINT) AS lag_sec
+FROM w WHERE is_left = 1
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (the reference's nested-JSON ingestion surface,
     json_to_dataframe.py): parse props, aggregate the extracted field."""
@@ -568,6 +622,28 @@ def _sql_quality_report_documents() -> str:
         f"WITH aug AS ({aug})\n"
         + "\nUNION ALL\n".join([schema_rows] + unions + [dup])
     )
+
+
+PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling (nulls / exact distinct / completeness /
+    min / max) over lineitem — one scan, one aggregation, long output
+    (``ops.profiling.profile_table``)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+def _sql_profile_lineitem() -> str:
+    from dp_data_quality_spark.ops.profiling import sql_profile_table
+
+    return sql_profile_table("lineitem", PROFILE_COLS)
 
 
 def q_contract_lineitem_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,10 +1338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        "events_asof_clicks": q_events_asof_clicks,
         "user_setops": q_user_setops,
         "contract_golden_vectors": q_contract_golden_vectors,
         "quality_report_documents": q_quality_report_documents,
         "contract_lineitem_types": q_contract_lineitem_types,
+        "profile_lineitem": q_profile_lineitem,
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
         "dedup_exact": q_dedup_exact,
@@ -1295,10 +1373,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "events_asof_clicks": SQL_EVENTS_ASOF_CLICKS,
         "user_setops": SQL_USER_SETOPS,
         "contract_golden_vectors": SQL_CONTRACT_GOLDEN_VECTORS,
         "quality_report_documents": _sql_quality_report_documents(),
         "contract_lineitem_types": _sql_contract_lineitem_types(),
+        "profile_lineitem": _sql_profile_lineitem(),
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
         "dedup_exact": SQL_DEDUP_EXACT,

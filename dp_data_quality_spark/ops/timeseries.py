@@ -1,0 +1,83 @@
+"""Time-series operators: as-of join.
+
+Spark has no ASOF JOIN operator (pandas ``merge_asof`` / kdb ``aj``
+semantics: for every left row, the most recent right row at-or-before
+its timestamp, per key).  A range-join formulation explodes into an
+inequality join (BroadcastNestedLoopJoin or O(n·m) candidates); the
+scalable composition used here is UNION + WINDOW:
+
+  1. tag left rows ``is_left=1`` and right rows ``is_left=0``, union
+     them with the right payload columns null on the left side;
+  2. one window per key ordered by (ts, is_left, tie) carries the
+     last non-null payload forward (``last(..., ignorenulls=True)``
+     over UNBOUNDED PRECEDING..CURRENT ROW);
+  3. keep the left rows.
+
+Cost: ONE shuffle on the join key (the window partition), no row
+explosion, no inequality join — at 10⁹ rows this is a sort within each
+key partition, exactly what a dedicated ASOF operator would do.
+Right rows at the SAME timestamp as a left row match (at-or-before
+semantics): ``is_left`` sorts right(0) before left(1); ties among
+right rows resolve to the greatest ``tie_col`` (deterministic, mirrored
+in the SQL oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload: list[str],
+    tie_col: str,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the latest ``right`` payload
+    at-or-before its ``ts_col``, per ``on`` key (null when no prior right
+    row exists — left-outer semantics).
+
+    ``payload``: right columns to carry (emitted as ``{prefix}{col}``).
+    ``tie_col``: right column breaking equal-timestamp ties (greatest
+    wins) — required so results are deterministic in both engines.
+    """
+    r = right.select(
+        *on,
+        ts_col,
+        F.lit(0).alias("__is_left"),
+        F.col(tie_col).alias("__tie"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+    )
+    l = left.select(
+        "*",
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w)
+            .alias(f"__f_{c}")
+            for c in payload
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__f_{c}").alias(f"{prefix}{c}") for c in payload
+    ]
+    return filled.filter(F.col("__is_left") == 1).select(*out_cols)
+
+
+# Oracle note: the DuckDB twin of a specific as-of query should mirror
+# THIS union + window construction column-by-column (see
+# __spark_entry__._sql_events_asof_clicks) rather than DuckDB's native
+# ASOF JOIN, whose equal-timestamp tie semantics differ.

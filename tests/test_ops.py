@@ -336,3 +336,59 @@ def test_ivf_kmeans_centroids_recall(vecs):
                                  n_probe=2, n_iter=3).collect()
     key = lambda rows: sorted((r.query_id, r.neighbor_id, r.rank) for r in rows)
     assert key(out1) == key(out2)
+
+
+# --- timeseries ----------------------------------------------------------
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    from dp_data_quality_spark.ops.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 200), (3, "u2", 50), (4, "u3", 10)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # u1: rows at 100 (tie with left 1, at-or-before matches),
+        # two rows at 150 (greatest rid wins); u2 only after t=50
+        [(10, "u1", 100), (11, "u1", 150), (12, "u1", 150), (13, "u2", 60)],
+        "rid long, k string, t long",
+    )
+    out = asof_join(left, right, on=["k"], ts_col="t",
+                    payload=["rid", "t"], tie_col="rid", prefix="m_")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    got = {r.lid: (r.m_rid, r.m_t) for r in out.collect()}
+    assert got[1] == (10, 100)     # at-or-before includes equal ts
+    assert got[2] == (12, 150)     # greatest tie wins among equal ts
+    assert got[3] == (None, None)  # no right row at-or-before
+    assert got[4] == (None, None)  # key never seen on the right
+
+    # cross-check the non-tie rows against pandas merge_asof semantics
+    lp = pd.DataFrame({"k": ["u1", "u2", "u3"], "t": [200, 50, 10],
+                       "lid": [2, 3, 4]}).sort_values("t")
+    rp = pd.DataFrame({"k": ["u1", "u1", "u2"], "t": [100, 150, 60],
+                       "rid": [10, 11, 12]}).sort_values("t")
+    m = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    pd_match = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in m.itertuples()}
+    assert pd_match[3] is None and pd_match[4] is None
+    assert got[2][0] in (11, 12)  # both are valid asof rows at t=150
+
+
+def test_profile_table_stats(spark):
+    from dp_data_quality_spark.ops.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("a", 3), (None, 3)],
+        "s string, v int",
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert out["s"].n_rows == 4 and out["s"].n_nulls == 1
+    assert out["s"].n_distinct == 2 and out["s"].completeness == 0.75
+    assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert (out["v"].min_val, out["v"].max_val) == ("1", "3")
