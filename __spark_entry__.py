@@ -646,6 +646,24 @@ def _sql_profile_lineitem() -> str:
     return sql_profile_table("lineitem", PROFILE_COLS)
 
 
+QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quartiles per numeric lineitem column,
+    one aggregation (``ops.profiling.profile_quantiles``)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import profile_quantiles
+
+    return profile_quantiles(_t(spark, sf_dir, "lineitem"), QUANTILE_COLS)
+
+
+def _sql_profile_quantiles() -> str:
+    from dp_data_quality_spark.ops.profiling import sql_profile_quantiles
+
+    return sql_profile_quantiles("lineitem", QUANTILE_COLS)
+
+
 def q_contract_lineitem_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datatype rules on real table columns via their string form —
     including the '17.0'-passes-integer quirk on l_quantity."""
@@ -1344,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report_documents": q_quality_report_documents,
         "contract_lineitem_types": q_contract_lineitem_types,
         "profile_lineitem": q_profile_lineitem,
+        "profile_quantiles": q_profile_quantiles,
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
         "dedup_exact": q_dedup_exact,
@@ -1379,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_report_documents": _sql_quality_report_documents(),
         "contract_lineitem_types": _sql_contract_lineitem_types(),
         "profile_lineitem": _sql_profile_lineitem(),
+        "profile_quantiles": _sql_profile_quantiles(),
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -22,21 +22,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
     """(col_name, n_rows, n_nulls, n_distinct, completeness, min_val,
     max_val) — one row per profiled column, computed in one pass.
 
     ``min_val``/``max_val`` are the native min/max cast to string (so
-    heterogeneous column types share one output schema); ``n_distinct``
-    is EXACT (count distinct), ``completeness`` = non-null fraction.
+    heterogeneous column types share one output schema); ``completeness``
+    = non-null fraction.  ``exact_distinct=True`` uses count-distinct
+    (Spark's expand: k× rows through one aggregate — exact, and what the
+    oracle checks); ``False`` switches to HyperLogLog++
+    (``approx_count_distinct``, default rsd 5%) — at 10⁹+ rows per
+    column the expand multiplier and the per-distinct-value state make
+    exact counting the wrong default, and the sketch profiles every
+    column in one cheap pass.
     """
     cols = columns or df.columns
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         col = F.col(f"`{c}`")
         aggs += [
             F.count(col).alias(f"__nn_{i}"),
-            F.countDistinct(col).alias(f"__nd_{i}"),
+            nd(col).alias(f"__nd_{i}"),
             F.min(col).cast(T.StringType()).alias(f"__mn_{i}"),
             F.max(col).cast(T.StringType()).alias(f"__mx_{i}"),
         ]
@@ -54,6 +65,53 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ])
     return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def profile_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """(col_name, q_25, q_50, q_75, …) exact linear-interpolation
+    quantiles per numeric column — Spark's ``percentile`` (exact, one
+    aggregation; at extreme scale swap in ``percentile_approx``, same
+    output shape).  Both Spark ``percentile`` and DuckDB
+    ``quantile_cont`` implement the (n-1)·p linear interpolation, which
+    is what makes this oracle-checkable bit-for-bit."""
+    aggs = []
+    for i, c in enumerate(columns):
+        col = F.col(f"`{c}`").cast("double")
+        for p in probs:
+            aggs.append(
+                F.round(F.expr(f"percentile(CAST(`{c}` AS DOUBLE), {p!r})"), 6)
+                .alias(f"__q_{i}_{str(p).replace('.', '_')}")
+            )
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            *[
+                F.col(f"__q_{i}_{str(p).replace('.', '_')}")
+                .alias(f"q_{int(p * 100)}")
+                for p in probs
+            ],
+        )
+        for i, c in enumerate(columns)
+    ])
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def sql_profile_quantiles(
+    table: str, columns: list[str], probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, " + ", ".join(
+            f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 6) AS q_{int(p * 100)}"
+            for p in probs
+        ) + f" FROM {table}"
+        for c in columns
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def sql_profile_table(table: str, columns: list[str]) -> str:

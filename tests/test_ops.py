@@ -392,3 +392,25 @@ def test_profile_table_stats(spark):
     assert (out["s"].min_val, out["s"].max_val) == ("a", "b")
     assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
     assert (out["v"].min_val, out["v"].max_val) == ("1", "3")
+
+
+def test_profile_approx_distinct_and_quantiles(spark):
+    import numpy as np
+
+    from dp_data_quality_spark.ops.profiling import (
+        profile_quantiles,
+        profile_table,
+    )
+
+    vals = [(float(i % 97),) for i in range(2000)]
+    df = spark.createDataFrame(vals, "v double")
+    approx = {r.col_name: r for r in
+              profile_table(df, exact_distinct=False).collect()}
+    # HLL++ default rsd 5% — allow generous slack on 97 true distincts
+    assert abs(approx["v"].n_distinct - 97) <= 15
+
+    q = profile_quantiles(df, ["v"]).collect()[0]
+    arr = np.array([v[0] for v in vals])
+    # Spark percentile == numpy linear interpolation
+    for attr, p in (("q_25", 0.25), ("q_50", 0.5), ("q_75", 0.75)):
+        assert abs(getattr(q, attr) - float(np.quantile(arr, p))) < 1e-6

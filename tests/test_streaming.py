@@ -130,3 +130,51 @@ def test_replayed_micro_batch_is_idempotent(spark, staged_input, tmp_path):
     )
     assert dups == 0
     assert {r.run_id for r in written.select("run_id").distinct().collect()} == {"stream-7"}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    # purchases attributed to same-user clicks within the trailing 10
+    # minutes; the streaming inner join (watermarks both sides + two-way
+    # time bound -> bounded state) must equal the batch join.
+    import datetime as dt
+
+    from dp_data_quality_spark.streaming.stream_join import stream_interval_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda off: t0 + dt.timedelta(seconds=off)
+    clicks = [(1, s(0), 100), (1, s(300), 101), (2, s(0), 102),
+              (1, s(4000), 103)]
+    purchases = [(1, s(400), 900),   # matches clicks 100 (400s) + 101 (100s)
+                 (2, s(700), 901),   # click 102 is 700s back -> outside 600s
+                 (3, s(100), 902),   # no clicks at all
+                 (1, s(4100), 903)]  # matches click 103 only
+    cdf = spark.createDataFrame(clicks, "user_id long, ts timestamp, click_id long")
+    pdf = spark.createDataFrame(purchases, "user_id long, ts timestamp, purchase_id long")
+
+    batch = stream_interval_join(pdf, cdf, key="user_id")
+    expect = {(r.purchase_id, r.r_click_id) for r in batch.collect()}
+    assert expect == {(900, 100), (900, 101), (903, 103)}
+
+    cpath, ppath = str(tmp_path / "c"), str(tmp_path / "p")
+    cdf.write.parquet(cpath)
+    pdf.write.parquet(ppath)
+    cs = spark.readStream.schema(cdf.schema).parquet(cpath)
+    ps = spark.readStream.schema(pdf.schema).parquet(ppath)
+    joined = stream_interval_join(ps, cs, key="user_id")
+    assert joined.isStreaming
+
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.purchase_id, r.r_click_id)
+           for r in spark.read.parquet(out).collect()}
+    assert got == expect
