@@ -261,13 +261,17 @@ def simhash(
     """(doc_id, simhash) — 60-bit signature over distinct words.
 
     Per word w: 60 bits of h60(w); bit j contributes +1 if set else -1;
-    signature bit j = 1 iff the sum over words is > 0.  Equivalently
-    (the form computed here): bit j = 1 iff 2·(#words with bit j set)
-    > #words.  One word-explode + ONE groupBy with 60 per-bit
-    conditional sums — no 60× bit-explode, so the aggregation
-    intermediate is 61 longs per doc instead of 60 rows per WORD, and
-    map-side partial aggregation collapses everything before the
-    shuffle.  Fully distributed, no UDFs."""
+    signature bit j = 1 iff the sum over words is > 0.  Explode words ×
+    bits, two-level groupBy — fully distributed, no UDFs.
+
+    Formulation note (measured, sf0.1): a one-groupBy variant with 60
+    per-bit conditional sums looks better on paper (one shuffle, 61
+    longs/doc instead of 60 rows/doc) but is ~1.6× SLOWER here — the
+    60-sum aggregate-update method exceeds JIT-able size so the whole
+    aggregate runs de-optimized; packing two counters per long didn't
+    recover it.  The explode keeps every operator inside small JIT'd
+    codegen, and its shuffle carries ≈ the same bytes per doc after
+    map-side partial aggregation, so this shape wins at both scales."""
     words = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -275,20 +279,31 @@ def simhash(
         ).alias("word"),
     ).filter(F.length("word") > 0)
     wh = words.select("doc_id", h60(F.col("word")).alias("wh"))
-    counted = wh.groupBy("doc_id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("wh"), j).bitwiseAND(1)).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ],
+    bits = wh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("wh"),
+    ).select(
+        "doc_id",
+        "bit",
+        # Python F.shiftright only takes literal shift amounts; the SQL
+        # function accepts a column.
+        F.when(F.expr("shiftright(wh, bit)").bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("contrib"),
     )
-    sig = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(
-            2 * F.col(f"b{j}") > F.col("n"), F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return counted.select("doc_id", sig.alias("simhash"))
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
 
 
 def simhash_pairs(
