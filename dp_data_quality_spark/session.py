@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
+    # SPARK_GRAFT_EXTRA_CONF: JSON object of extra spark confs — the
+    # local-harness mirror of `spark-submit --conf k=v`, so perf
+    # experiments and site tuning never require code edits.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
