@@ -42,16 +42,23 @@ def profile_table(
     """
     cols = columns or df.columns
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    # Two separate aggregations, NOT one: mixing count-distinct with
+    # plain aggregates makes Catalyst expand every input row once per
+    # distinct group (k+1×), dragging all min/max payload columns
+    # through the expanded shuffle — measured ~6× slower than two clean
+    # scans at sf0.1 (12.2 s vs ~2 s).  Each aggregate returns ONE row,
+    # so the crossJoin below is a 1×1 literal join, not a real join.
+    plain = [F.count(F.lit(1)).alias("__n")]
+    distincts = []
     for i, c in enumerate(cols):
         col = F.col(f"`{c}`")
-        aggs += [
+        plain += [
             F.count(col).alias(f"__nn_{i}"),
-            nd(col).alias(f"__nd_{i}"),
             F.min(col).cast(T.StringType()).alias(f"__mn_{i}"),
             F.max(col).cast(T.StringType()).alias(f"__mx_{i}"),
         ]
-    wide = df.agg(*aggs)
+        distincts.append(nd(col).alias(f"__nd_{i}"))
+    wide = df.agg(*plain).crossJoin(df.agg(*distincts))
     entries = F.array(*[
         F.struct(
             F.lit(c).alias("col_name"),
@@ -72,33 +79,58 @@ def profile_quantiles(
     columns: list[str],
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
 ) -> DataFrame:
-    """(col_name, q_25, q_50, q_75, …) exact linear-interpolation
-    quantiles per numeric column — Spark's ``percentile`` (exact, one
-    aggregation; at extreme scale swap in ``percentile_approx``, same
-    output shape).  Both Spark ``percentile`` and DuckDB
-    ``quantile_cont`` implement the (n-1)·p linear interpolation, which
-    is what makes this oracle-checkable bit-for-bit."""
-    aggs = []
-    for i, c in enumerate(columns):
-        col = F.col(f"`{c}`").cast("double")
-        for p in probs:
-            aggs.append(
-                F.round(F.expr(f"percentile(CAST(`{c}` AS DOUBLE), {p!r})"), 6)
-                .alias(f"__q_{i}_{str(p).replace('.', '_')}")
+    """(col_name, q_25, q_50, q_75, …) EXACT linear-interpolation
+    quantiles per numeric column, as a sort, not a collect: Spark's
+    ``percentile`` aggregate buffers every value into one merging
+    reducer (measured 6 s at sf0.1); here the values go long
+    (col_name, value), one window per column ranks them (columns sort
+    in parallel), and only the two rows flanking each (n-1)·p position
+    survive to a tiny final aggregate.  Same interpolation formula as
+    ``percentile`` / DuckDB ``quantile_cont`` — ``lo + frac·(hi-lo)``
+    at position (n-1)·p — so values stay bit-compatible with the
+    oracle.  At extreme scale swap in ``percentile_approx`` (sketch);
+    this is the exact path."""
+    from pyspark.sql import Window
+
+    lf = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"`{c}`").cast("double").alias("value"),
             )
-    wide = df.agg(*aggs)
-    entries = F.array(*[
-        F.struct(
-            F.lit(c).alias("col_name"),
-            *[
-                F.col(f"__q_{i}_{str(p).replace('.', '_')}")
-                .alias(f"q_{int(p * 100)}")
-                for p in probs
-            ],
-        )
-        for i, c in enumerate(columns)
-    ])
-    return wide.select(F.explode(entries).alias("p")).select("p.*")
+            for c in columns
+        ])).alias("e")
+    ).select("e.col_name", "e.value").filter(F.col("value").isNotNull())
+
+    rank_w = Window.partitionBy("col_name").orderBy("value")
+    part_w = Window.partitionBy("col_name")
+    ranked = lf.select(
+        "col_name", "value",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count("*").over(part_w).alias("n"),
+    )
+
+    flank_aggs = []
+    for p in probs:
+        pos = (F.col("n") - 1) * F.lit(p)
+        k = F.floor(pos) + 1  # 1-based rank of the lower flank
+        tag = f"q_{int(p * 100)}"
+        flank_aggs += [
+            F.max(F.when(F.col("rn") == k, F.col("value"))).alias(f"__lo_{tag}"),
+            F.max(F.when(F.col("rn") == k + 1, F.col("value"))).alias(f"__hi_{tag}"),
+            F.first(pos).alias(f"__pos_{tag}"),
+        ]
+    flanks = ranked.groupBy("col_name").agg(*flank_aggs)
+
+    outs = []
+    for p in probs:
+        tag = f"q_{int(p * 100)}"
+        pos = F.col(f"__pos_{tag}")
+        lo = F.col(f"__lo_{tag}")
+        hi = F.coalesce(F.col(f"__hi_{tag}"), lo)  # pos integral at the top rank
+        frac = pos - F.floor(pos)
+        outs.append(F.round(lo + frac * (hi - lo), 6).alias(tag))
+    return flanks.select("col_name", *outs)
 
 
 def sql_profile_quantiles(
