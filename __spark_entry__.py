@@ -664,6 +664,22 @@ def _sql_profile_quantiles() -> str:
     return sql_profile_quantiles("lineitem", QUANTILE_COLS)
 
 
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 10-bucket histogram of l_extendedprice — lazy two-pass
+    plan, min/max broadcast into the bucketing scan
+    (``ops.profiling.numeric_histogram``)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 10)
+
+
+def _sql_histogram_prices() -> str:
+    from dp_data_quality_spark.ops.profiling import sql_numeric_histogram
+
+    return sql_numeric_histogram("lineitem", "l_extendedprice", 10)
+
+
 def q_contract_lineitem_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datatype rules on real table columns via their string form —
     including the '17.0'-passes-integer quirk on l_quantity."""
@@ -1363,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_lineitem_types": q_contract_lineitem_types,
         "profile_lineitem": q_profile_lineitem,
         "profile_quantiles": q_profile_quantiles,
+        "histogram_prices": q_histogram_prices,
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
         "dedup_exact": q_dedup_exact,
@@ -1399,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_lineitem_types": _sql_contract_lineitem_types(),
         "profile_lineitem": _sql_profile_lineitem(),
         "profile_quantiles": _sql_profile_quantiles(),
+        "histogram_prices": _sql_histogram_prices(),
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
         "dedup_exact": SQL_DEDUP_EXACT,

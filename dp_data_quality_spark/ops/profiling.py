@@ -146,6 +146,71 @@ def sql_profile_quantiles(
     return "\nUNION ALL\n".join(parts)
 
 
+def numeric_histogram(df: DataFrame, column: str, nbins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo, hi, n).
+
+    Fully lazy two-pass plan: the (min, max) single-row aggregate rides
+    into the bucketing pass as a broadcast 1-row crossJoin — no driver
+    action, so the histogram composes into larger jobs.  The top edge
+    clamps into the last bucket; nulls are excluded; a constant column
+    yields one bucket.  Bucket arithmetic is plain IEEE double ops
+    (``floor((v-mn)/width)``) mirrored exactly by the SQL oracle."""
+    v = F.col(f"`{column}`").cast("double")
+    stats = df.agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(nbins))
+    bucket = F.when(
+        F.col("__mx") == F.col("__mn"), F.lit(0)
+    ).otherwise(
+        F.least(F.floor((v - F.col("__mn")) / width), F.lit(nbins - 1))
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "__mn", "__mx")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+        .select(
+            "bucket",
+            F.round(
+                F.col("__mn")
+                + F.col("bucket") * ((F.col("__mx") - F.col("__mn")) / F.lit(float(nbins))),
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("__mn")
+                + (F.col("bucket") + 1)
+                * ((F.col("__mx") - F.col("__mn")) / F.lit(float(nbins))),
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )
+
+
+def sql_numeric_histogram(table: str, column: str, nbins: int = 10) -> str:
+    v = f"CAST({column} AS DOUBLE)"
+    return f"""
+WITH s AS (SELECT min({v}) AS mn, max({v}) AS mx FROM {table}),
+b AS (
+  SELECT CAST(CASE WHEN s.mx = s.mn THEN 0
+              ELSE least(floor(({v} - s.mn) / ((s.mx - s.mn) / {float(nbins)})), {nbins - 1})
+         END AS INT) AS bucket, s.mn, s.mx
+  FROM {table}, s WHERE {column} IS NOT NULL
+)
+SELECT bucket,
+       round(mn + bucket * ((mx - mn) / {float(nbins)}), 6) AS lo,
+       round(mn + (bucket + 1) * ((mx - mn) / {float(nbins)}), 6) AS hi,
+       count(*) AS n
+FROM b GROUP BY bucket, mn, mx
+"""
+
+
 def sql_profile_table(table: str, columns: list[str]) -> str:
     """DuckDB twin: same stats per column, UNION ALL of per-column
     aggregates (the small-scale oracle doesn't need the one-pass plan)."""
