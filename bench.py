@@ -58,6 +58,7 @@ BENCH_QUERIES_EXTRA = [
     "events_asof_clicks",
     "profile_lineitem",
     "profile_quantiles",
+    "histogram_prices",
     "corpus_curation",
 ]
 
