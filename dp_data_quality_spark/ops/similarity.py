@@ -327,34 +327,31 @@ def neardup_pairs(
     Recall < 1 by design (a near-dup pair ≥2 sign bits apart is
     missed) — the documented LSH trade-off shared with ``lsh_ann_topk``.
     """
-    # Norms are computed ONCE per vector here, not per candidate pair:
-    # a pair's cosine then needs only the cross dot product, cutting the
-    # per-pair arithmetic to a third.  Value-identical to cosine():
-    # same expressions, just evaluated once per side.
+    # The probe join ships ONLY (id, probe) — never the vectors: the
+    # a-side replicates each row 1+N_PLANES times, and replicating
+    # embedding payloads 5× through that shuffle is the dominant cost at
+    # 10⁹ vectors.  Embeddings re-attach to the surviving id pairs by
+    # plain key joins (auto-broadcast at small scale, co-partitionable
+    # sort-merge at large), then one Arrow batch scores the candidates.
     e = df.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
         lsh_bucket(F.col(vec_col)).alias("b0"),
-        norm(F.col(vec_col)).alias("nrm"),
     )
     probes = F.array(
         F.col("b0"), *[F.col("b0").bitwiseXOR(1 << p) for p in range(N_PLANES)]
     )
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        F.explode(probes).alias("probe"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-        F.col("b0").alias("probe"),
-    )
-    return (
+    a = e.select(F.col("vec_id").alias("id_a"), F.explode(probes).alias("probe"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("b0").alias("probe"))
+    pairs = (
         a.join(b, on="probe")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        pairs.join(ea, on="id_a")
+        .join(eb, on="id_b")
         .select(
             "id_a", "id_b",
             cosine_pairs(F.col("emb_a"), F.col("emb_b")).alias("sim"),
