@@ -36,15 +36,25 @@ def asof_join(
     payload: list[str],
     tie_col: str,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + the latest ``right`` payload
-    at-or-before its ``ts_col``, per ``on`` key (null when no prior right
-    row exists — left-outer semantics).
+    """Left as-of join: every ``left`` row + the right payload nearest
+    its ``ts_col`` per ``on`` key (null when none exists — left-outer
+    semantics).
+
+    ``direction="backward"`` (default, pandas merge_asof parity): the
+    LATEST right row at-or-before the left timestamp; equal-timestamp
+    ties resolve to the GREATEST ``tie_col``.  ``"forward"``: the
+    EARLIEST right row at-or-after; ties resolve to the SMALLEST
+    ``tie_col``.  Both are the same union + carry-forward window, with
+    the traversal order reversed for forward.
 
     ``payload``: right columns to carry (emitted as ``{prefix}{col}``).
-    ``tie_col``: right column breaking equal-timestamp ties (greatest
-    wins) — required so results are deterministic in both engines.
+    ``tie_col``: right column breaking equal-timestamp ties — required
+    so results are deterministic in both engines.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r = right.select(
         *on,
         ts_col,
@@ -58,9 +68,16 @@ def asof_join(
         F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__tie").asc()]
+    else:
+        # traverse from the future backwards; right rows still sort
+        # before the left row at equal timestamps (at-or-after matches),
+        # and the carried value ends up the earliest/smallest-tie match
+        order = [F.col(ts_col).desc(), F.col("__is_left").asc(), F.col("__tie").desc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -414,3 +414,36 @@ def test_profile_approx_distinct_and_quantiles(spark):
     # Spark percentile == numpy linear interpolation
     for attr, p in (("q_25", 0.25), ("q_50", 0.5), ("q_75", 0.75)):
         assert abs(getattr(q, attr) - float(np.quantile(arr, p))) < 1e-6
+
+
+def test_asof_join_forward_direction(spark):
+    from dp_data_quality_spark.ops.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 160), (3, "u2", 50)],
+        "lid long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        # u1: rows at 100 (equal-ts, at-or-after matches), two at 150
+        # (smallest rid wins forward); u2 has only an EARLIER row
+        [(10, "u1", 100), (11, "u1", 150), (12, "u1", 150), (13, "u2", 40)],
+        "rid long, k string, t long",
+    )
+    out = asof_join(left, right, on=["k"], ts_col="t",
+                    payload=["rid", "t"], tie_col="rid",
+                    prefix="m_", direction="forward")
+    got = {r.lid: (r.m_rid, r.m_t) for r in out.collect()}
+    assert got[1] == (10, 100)     # at-or-after includes equal ts
+    assert got[2] == (None, None)  # nothing at-or-after 160
+    assert got[3] == (None, None)  # u2's only row is before 50
+
+    # the next row for an intermediate timestamp: smallest tie at 150
+    mid = spark.createDataFrame([(9, "u1", 120)], "lid long, k string, t long")
+    out2 = asof_join(mid, right, on=["k"], ts_col="t",
+                     payload=["rid"], tie_col="rid",
+                     prefix="m_", direction="forward")
+    assert out2.collect()[0].m_rid == 11
+
+    import pytest
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, ["k"], "t", ["rid"], "rid", direction="nearest")
