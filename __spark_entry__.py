@@ -664,6 +664,50 @@ def _sql_profile_quantiles() -> str:
     return sql_profile_quantiles("lineitem", QUANTILE_COLS)
 
 
+FREQ_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
+
+
+def q_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent values per lineitem column (heavy-hitters
+    profiling panel, ``ops.profiling.frequent_items``)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import frequent_items
+
+    return frequent_items(_t(spark, sf_dir, "lineitem"), FREQ_COLS, k=5)
+
+
+def _sql_frequent_values() -> str:
+    from dp_data_quality_spark.ops.profiling import sql_frequent_items
+
+    return sql_frequent_items("lineitem", FREQ_COLS, k=5)
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-hour-of-day event counts, one column per event type
+    (``groupBy().pivot()`` with an explicit value list → deterministic
+    schema, no extra distinct-values job)."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "error"]
+    return (
+        e.withColumn("hour_of_day", F.hour(F.col("ts").cast("timestamp")))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY 1
+"""
+
+
 def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width 10-bucket histogram of l_extendedprice — lazy two-pass
     plan, min/max broadcast into the bucketing scan
@@ -1380,6 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "profile_quantiles": q_profile_quantiles,
         "histogram_prices": q_histogram_prices,
+        "frequent_values": q_frequent_values,
+        "events_pivot": q_events_pivot,
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
         "dedup_exact": q_dedup_exact,
@@ -1417,6 +1463,8 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _sql_profile_lineitem(),
         "profile_quantiles": _sql_profile_quantiles(),
         "histogram_prices": _sql_histogram_prices(),
+        "frequent_values": _sql_frequent_values(),
+        "events_pivot": SQL_EVENTS_PIVOT,
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
         "dedup_exact": SQL_DEDUP_EXACT,

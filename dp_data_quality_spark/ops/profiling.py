@@ -193,6 +193,58 @@ def numeric_histogram(df: DataFrame, column: str, nbins: int = 10) -> DataFrame:
     )
 
 
+def frequent_items(
+    df: DataFrame, columns: list[str], k: int = 5
+) -> DataFrame:
+    """Top-``k`` most frequent values per column — the heavy-hitters
+    panel of a profiling report: (col_name, value, n, rank), ties broken
+    by value ascending for determinism.
+
+    One pass: values go long (col_name, value-as-string), one
+    count-aggregate, one rank window partitioned by col_name — columns
+    rank in parallel and only k rows per column survive.  At extreme
+    cardinalities swap the exact count for a count-min/approximate
+    top-k sketch; this is the exact path the oracle checks."""
+    from pyspark.sql import Window
+
+    lf = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"`{c}`").cast(T.StringType()).alias("value"),
+            )
+            for c in columns
+        ])).alias("e")
+    ).select("e.col_name", "e.value").filter(F.col("value").isNotNull())
+    counts = lf.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("col_name", "value", "n", "rank")
+    )
+
+
+def sql_frequent_items(table: str, columns: list[str], k: int = 5) -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value, "
+        f"count(*) AS n FROM {table} WHERE {c} IS NOT NULL GROUP BY 2"
+        for c in columns
+    ]
+    unioned = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH counts AS ({unioned}),
+ranked AS (
+  SELECT col_name, value, n,
+         CAST(row_number() OVER (PARTITION BY col_name ORDER BY n DESC, value ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT col_name, value, n, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def sql_numeric_histogram(table: str, column: str, nbins: int = 10) -> str:
     v = f"CAST({column} AS DOUBLE)"
     return f"""

@@ -447,3 +447,15 @@ def test_asof_join_forward_direction(spark):
     import pytest
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right, ["k"], "t", ["rid"], "rid", direction="nearest")
+
+
+def test_frequent_items_ranks_and_ties(spark):
+    from dp_data_quality_spark.ops.profiling import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), (None,)], "s string"
+    )
+    out = [(r.value, r.n, r.rank) for r in
+           frequent_items(df, ["s"], k=2).orderBy("rank").collect()]
+    # a and b tie at 2 -> value ascending breaks the tie; null excluded
+    assert out == [("a", 2, 1), ("b", 2, 2)]
