@@ -292,6 +292,52 @@ GROUP BY user_id
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE ``session_window`` (the same
+    gap-merge the lag-based ``events_sessionize`` hand-rolls, and the
+    operator that runs stateful on streams): session bounds + event
+    counts.  Emitted as epoch MICROseconds — session merging happens at
+    full timestamp precision, and the oracle replays it with
+    ``epoch_us`` arithmetic (same-session iff gap < 30 min strictly;
+    window end = last event + gap)."""
+    _prep(spark)
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        e.groupBy(F.session_window(ts, "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + 1800000000 AS session_end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_events_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase event + the user's most recent click
     at-or-before it (``ops.timeseries.asof_join`` — union + window, ONE
@@ -1416,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
+        "events_session_window": q_events_session_window,
         "events_asof_clicks": q_events_asof_clicks,
         "user_setops": q_user_setops,
         "contract_golden_vectors": q_contract_golden_vectors,
@@ -1455,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_json_props": SQL_EVENTS_JSON_PROPS,
+        "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "events_asof_clicks": SQL_EVENTS_ASOF_CLICKS,
         "user_setops": SQL_USER_SETOPS,
         "contract_golden_vectors": SQL_CONTRACT_GOLDEN_VECTORS,
