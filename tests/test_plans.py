@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the physical plans ARE part of the
+contract at 100 TB — a silent optimizer or refactor regression that turns
+a broadcast join into a shuffle join, un-pushes a filter, or doubles the
+scans would pass every value test and still be a production incident.
+These tests pin the load-bearing plan properties of the headline queries
+(docs/PLANS.md shows the full dumps)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "top_revenue_nations")
+    # lineitem joins orders/customer/nation/region: every dim side must
+    # broadcast — a SortMergeJoin here means a full shuffle of lineitem
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes(spark):
+    plan = _plan(spark, "pricing_summary")
+    # the shipdate predicate must reach the parquet scan...
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    # ...and the scan must not read the whole 11-column schema
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema  # pricing needs no keys
+
+
+def test_profile_runs_exactly_two_scans(spark):
+    # the split-aggregation design: one clean scan for count/min/max,
+    # one for the distinct counts — NOT one expanded scan, NOT 2k scans
+    plan = _plan(spark, "profile_lineitem")
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_no_cartesian_anywhere():
+    # queries that must never degrade to all-pairs plans
+    from dp_data_quality_spark.session import get_spark
+
+    spark = get_spark()
+    for name in ["embedding_neardup", "events_asof_clicks", "dedup_minhash_lsh",
+                 "dedup_simhash", "events_session_window"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
