@@ -969,6 +969,29 @@ jac AS (
 """
 
 
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 3-grams by document frequency over the documents
+    corpus — the boilerplate/contamination panel
+    (``ops.dedup.ngram_doc_frequencies``)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    return D.ngram_doc_frequencies(corpus, n=3, k=20)
+
+
+def _sql_corpus_ngrams() -> str:
+    return f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+sh AS ({_SQL_EXPLODED_SHINGLES}),
+counts AS (SELECT shingle, count(*) AS doc_freq FROM sh GROUP BY shingle),
+ranked AS (
+  SELECT shingle, doc_freq,
+         CAST(row_number() OVER (ORDER BY doc_freq DESC, shingle ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT shingle, doc_freq, rank FROM ranked WHERE rank <= 20
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (threshold 0.5)."""
     _prep(spark)
@@ -1477,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_stats": q_text_quality_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "corpus_ngrams": q_corpus_ngrams,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1517,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_stats": _sql_text_quality_stats(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
+        "corpus_ngrams": _sql_corpus_ngrams(),
         "minhash_signatures": _sql_minhash_signatures(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _sql_dedup_simhash(),

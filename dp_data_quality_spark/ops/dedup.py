@@ -252,6 +252,33 @@ def minhash_lsh_pairs(
     )
 
 
+def ngram_doc_frequencies(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` word n-grams by DOCUMENT frequency: (shingle, doc_freq,
+    rank), ties broken by shingle ascending.
+
+    The corpus-wide n-gram panel of an LLM-data pipeline — boilerplate
+    and contamination show up as n-grams with anomalously high document
+    frequency.  Reuses the codegen'd shingle explode (per-doc DISTINCT
+    shingles, so each document counts once per n-gram); one groupBy +
+    one rank window over the (much smaller) n-gram counts."""
+    from pyspark.sql import Window
+
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("shingle", "doc_freq", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
