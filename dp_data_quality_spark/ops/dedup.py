@@ -271,11 +271,15 @@ def ngram_doc_frequencies(
 
     sh = _exploded_shingles(df, id_col, text_col, n)
     counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # orderBy().limit(k) lowers to TakeOrderedAndProject — every partition
+    # keeps its local top-k and only k rows reach the driver-side merge.
+    # A global rank window here instead would funnel the ENTIRE n-gram
+    # vocabulary through one task; the row_number below runs over just
+    # the k survivors.
+    top = counts.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc()).limit(k)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("shingle", "doc_freq", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "shingle", "doc_freq", "rank"
     )
 
 
