@@ -217,3 +217,49 @@ def test_dedup_stream_drops_redelivered_turns(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     got = sorted((r.conv_id, r.turn_idx) for r in rows)
     assert got == [("c1", 0), ("c1", 1), ("c2", 0)]  # no duplicate c1/0
+
+
+def test_windowed_metrics_drop_late_rows_beyond_watermark(spark, tmp_path):
+    # a row arriving after the watermark passed its window must NOT be
+    # counted in that window's metrics (the documented trade-off: late
+    # data is dropped from METRICS, never from the data path).
+    import datetime as dt
+
+    t = lambda m, s=0: dt.datetime(2026, 1, 1, 12, m, s)
+    schema = "ts timestamp, drop_reasons array<string>"
+    inp = str(tmp_path / "inp")
+
+    spark.createDataFrame(
+        [(t(0, 10), ["r1"]), (t(0, 20), ["r1"]), (t(3, 30), ["r1"])], schema
+    ).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(inp).schema
+    ).option("maxFilesPerTrigger", 1).parquet(inp)
+    metrics = windowed_drop_metrics(stream, window="1 minute", watermark="2 minutes")
+
+    out = str(tmp_path / "out")
+    q = (
+        metrics.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark now 12:03:30 - 2min = 12:01:30
+        spark.createDataFrame(
+            [(t(0, 40), ["r1"]),   # LATE: window [12:00,12:01) already closed
+             (t(6, 0), ["r1"])],   # advances watermark to 12:04 -> flush
+            schema,
+        ).write.mode("append").parquet(inp)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    counts = {r.window_start.strftime("%H:%M"): r["count"] for r in rows
+              if r.reason == "r1"}
+    # the 12:00 window holds only the two on-time rows; the late third
+    # arrival was dropped from metrics
+    assert counts.get("12:00") == 2, rows
