@@ -969,6 +969,39 @@ jac AS (
 """
 
 
+SPLIT_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split of the documents
+    corpus by doc_id hash (``ops.sampling.deterministic_split``) —
+    per-split row counts and min/max ids prove stability."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_split(d, "doc_id", SPLIT_FRACTIONS)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def _sql_dataset_split() -> str:
+    from dp_data_quality_spark.ops.sampling import sql_split_column
+
+    split = sql_split_column("doc_id", SPLIT_FRACTIONS)
+    return f"""
+SELECT {split} AS split, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
 def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word 3-grams by document frequency over the documents
     corpus — the boilerplate/contamination panel
@@ -1501,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
+        "dataset_split": q_dataset_split,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1542,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),
+        "dataset_split": _sql_dataset_split(),
         "minhash_signatures": _sql_minhash_signatures(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _sql_dedup_simhash(),

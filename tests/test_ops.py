@@ -459,3 +459,24 @@ def test_frequent_items_ranks_and_ties(spark):
            frequent_items(df, ["s"], k=2).orderBy("rank").collect()]
     # a and b tie at 2 -> value ascending breaks the tie; null excluded
     assert out == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_deterministic_split_properties(spark):
+    import pytest
+
+    from dp_data_quality_spark.ops.sampling import deterministic_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = deterministic_split(df, "k", fr)
+    counts = {r.split: r.n for r in out.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05  # hash-uniform
+    # stable across runs and independent of partitioning
+    a = {(r.k, r.split) for r in out.collect()}
+    b = {(r.k, r.split)
+         for r in deterministic_split(df.repartition(7), "k", fr).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(df, "k", {"a": 0.5, "b": 0.4})

@@ -229,9 +229,13 @@ def test_windowed_metrics_drop_late_rows_beyond_watermark(spark, tmp_path):
     schema = "ts timestamp, drop_reasons array<string>"
     inp = str(tmp_path / "inp")
 
+    # one FILE per logical batch: with maxFilesPerTrigger=1 the file is
+    # the micro-batch unit, and multi-file writes would let the 12:03 row
+    # process before the 12:00 rows (file order is not guaranteed),
+    # making them spuriously late
     spark.createDataFrame(
         [(t(0, 10), ["r1"]), (t(0, 20), ["r1"]), (t(3, 30), ["r1"])], schema
-    ).write.mode("append").parquet(inp)
+    ).coalesce(1).write.mode("append").parquet(inp)
 
     stream = spark.readStream.schema(
         spark.read.parquet(inp).schema
@@ -252,7 +256,7 @@ def test_windowed_metrics_drop_late_rows_beyond_watermark(spark, tmp_path):
             [(t(0, 40), ["r1"]),   # LATE: window [12:00,12:01) already closed
              (t(6, 0), ["r1"])],   # advances watermark to 12:04 -> flush
             schema,
-        ).write.mode("append").parquet(inp)
+        ).coalesce(1).write.mode("append").parquet(inp)
         q.processAllAvailable()
     finally:
         q.stop()
