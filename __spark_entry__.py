@@ -710,6 +710,27 @@ def _sql_profile_quantiles() -> str:
     return sql_profile_quantiles("lineitem", QUANTILE_COLS)
 
 
+def q_profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path quartiles (``ops.profiling.profile_quantiles_approx``,
+    Greenwald-Khanna via ``percentile_approx``) — the 100-TB profiling
+    default: one scan, one mergeable aggregation, NO sort and NO
+    per-column single-task window.  Run here at accuracy ≥ n so the
+    result is exact (element-selecting, ``quantile_disc`` semantics) and
+    the DuckDB oracle can hash-gate it."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import profile_quantiles_approx
+
+    return profile_quantiles_approx(
+        _t(spark, sf_dir, "lineitem"), QUANTILE_COLS, accuracy=1_000_000
+    )
+
+
+def _sql_profile_quantiles_approx() -> str:
+    from dp_data_quality_spark.ops.profiling import sql_profile_quantiles_disc
+
+    return sql_profile_quantiles_disc("lineitem", QUANTILE_COLS)
+
+
 FREQ_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
 
 
@@ -1526,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_lineitem_types": q_contract_lineitem_types,
         "profile_lineitem": q_profile_lineitem,
         "profile_quantiles": q_profile_quantiles,
+        "profile_quantiles_approx": q_profile_quantiles_approx,
         "histogram_prices": q_histogram_prices,
         "frequent_values": q_frequent_values,
         "events_pivot": q_events_pivot,
@@ -1568,6 +1590,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_lineitem_types": _sql_contract_lineitem_types(),
         "profile_lineitem": _sql_profile_lineitem(),
         "profile_quantiles": _sql_profile_quantiles(),
+        "profile_quantiles_approx": _sql_profile_quantiles_approx(),
         "histogram_prices": _sql_histogram_prices(),
         "frequent_values": _sql_frequent_values(),
         "events_pivot": SQL_EVENTS_PIVOT,

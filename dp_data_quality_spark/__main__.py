@@ -78,14 +78,22 @@ def _report_cmd(args: argparse.Namespace) -> int:
         # "no issues" text artifact instead of a report
         # (quality_report.py:220-227 writes the same message to S3)
         import datetime
-        import pathlib
 
         now = datetime.date.today().isoformat()
-        marker = str(pathlib.Path(args.output) / "_NO_ISSUES.txt")
-        pathlib.Path(marker).write_text(
-            f"As of {now}, {args.table_name} does not have any data "
-            "quality issues."
-        )
+        # write through the Hadoop FileSystem API so URI outputs
+        # (s3a://, hdfs://, file:/) work — pathlib would mangle the
+        # scheme ('s3a://b/x' -> 's3a:/b/x') after the report succeeded
+        jvm = spark._jvm
+        out_path = jvm.org.apache.hadoop.fs.Path(args.output, "_NO_ISSUES.txt")
+        fs = out_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.create(out_path, True)
+        try:
+            stream.write(bytearray(
+                f"As of {now}, {args.table_name} does not have any data "
+                "quality issues.", "utf-8"))
+        finally:
+            stream.close()
+        marker = str(out_path.toString())
     print(json.dumps({"report_path": args.output, "report_rows": n,
                       "no_issues_marker": marker}))
     return 0

@@ -88,8 +88,15 @@ def profile_quantiles(
     survive to a tiny final aggregate.  Same interpolation formula as
     ``percentile`` / DuckDB ``quantile_cont`` — ``lo + frac·(hi-lo)``
     at position (n-1)·p — so values stay bit-compatible with the
-    oracle.  At extreme scale swap in ``percentile_approx`` (sketch);
-    this is the exact path."""
+    oracle.
+
+    Scale note: each column's values still sort inside ONE window
+    partition (k-way parallelism for k columns) — fine up to ~10⁷
+    values per column, a single-task sort beyond.  The scale DEFAULT
+    for profiling big tables is :func:`profile_quantiles_approx`
+    (mergeable GK sketch, one pass, fully partial-aggregated); use
+    this exact path when interpolated values are required and the
+    per-column cardinality is bounded."""
     from pyspark.sql import Window
 
     lf = df.select(
@@ -131,6 +138,65 @@ def profile_quantiles(
         frac = pos - F.floor(pos)
         outs.append(F.round(lo + frac * (hi - lo), 6).alias(tag))
     return flanks.select("col_name", *outs)
+
+
+def profile_quantiles_approx(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """(col_name, q_25, q_50, q_75, …) quantiles per numeric column via
+    Spark's Greenwald-Khanna sketch (``percentile_approx``) — the SCALE
+    path: ONE scan, one ordinary aggregation (map-side partial sketches
+    merged at the reducer), no sort, no window, no per-column
+    single-task funnel.  Sketch state is O(accuracy · log n) per column
+    regardless of row count, so profiling a 10⁹-row column costs the
+    same shuffle as a ``count``.
+
+    Guarantee: rank error ≤ n/accuracy.  When ``accuracy ≥ n`` the
+    sketch holds every value and the result is EXACT — it returns the
+    same element DuckDB's ``quantile_disc`` selects (verified across
+    n∈{4,5,10,11,97} × p∈{0,.1,.25,.5,.75,.9,1}), which is what lets
+    the sandbox oracle hash-gate this path (`sql_profile_quantiles_disc`).
+    Unlike :func:`profile_quantiles` the result is an ELEMENT of the
+    column, not an interpolated midpoint.
+
+    Output schema matches :func:`profile_quantiles` (long form, one row
+    per column) so the two paths are drop-in interchangeable."""
+    aggs = [
+        F.percentile_approx(
+            F.col(f"`{c}`").cast("double"), list(probs), accuracy
+        ).alias(f"__q_{i}")
+        for i, c in enumerate(columns)
+    ]
+    wide = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            *[
+                F.col(f"__q_{i}")[j].alias(f"q_{int(p * 100)}")
+                for j, p in enumerate(probs)
+            ],
+        )
+        for i, c in enumerate(columns)
+    ])
+    return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def sql_profile_quantiles_disc(
+    table: str, columns: list[str], probs: tuple[float, ...] = (0.25, 0.5, 0.75)
+) -> str:
+    """DuckDB twin of :func:`profile_quantiles_approx` at full accuracy:
+    ``quantile_disc`` selects the identical element."""
+    parts = [
+        f"SELECT '{c}' AS col_name, " + ", ".join(
+            f"quantile_disc(CAST({c} AS DOUBLE), {p}) AS q_{int(p * 100)}"
+            for p in probs
+        ) + f" FROM {table}"
+        for c in columns
+    ]
+    return "\nUNION ALL\n".join(parts)
 
 
 def sql_profile_quantiles(

@@ -164,7 +164,11 @@ def add_text_stats(df, text_col: str = "text", out_prefix: str = ""):
         guess.alias(f"{p}lang_guess"),
         F.col("__fp").alias(f"{p}fingerprint"),
     )
-    helper = [c for c in out.columns if c.startswith("__")]
+    # drop exactly the helpers THIS function added — a caller's own
+    # '__'-prefixed columns pass through untouched
+    helper = ["__n", "__w", "__len", "__nw", "__cns", "__tok",
+              "__alpha", "__digit", "__fp",
+              *[f"__h_{lang}" for lang in LANG_ORDER]]
     return out.drop(*helper)
 
 

@@ -9,9 +9,11 @@ scalable composition used here is UNION + WINDOW:
   1. tag left rows ``is_left=1`` and right rows ``is_left=0``, union
      them with the right payload columns null on the left side;
   2. one window per key ordered by (ts, is_left, tie) carries the
-     last non-null payload forward (``last(..., ignorenulls=True)``
-     over UNBOUNDED PRECEDING..CURRENT ROW);
-  3. keep the left rows.
+     last non-null payload STRUCT forward (``last(..., ignorenulls=True)``
+     over UNBOUNDED PRECEDING..CURRENT ROW) — one struct per right row,
+     so every output field comes from the SAME matched right row even
+     when some of its payload fields are NULL;
+  3. keep the left rows, unpack the struct.
 
 Cost: ONE shuffle on the join key (the window partition), no row
 explosion, no inequality join — at 10⁹ rows this is a sort within each
@@ -55,17 +57,22 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # Pack ALL payload columns into ONE struct per right row: the window
+    # then carries matched-row snapshots atomically — a NULL field in the
+    # nearest right row stays NULL instead of back-filling from an older
+    # row (pandas merge_asof returns the matched row verbatim).
     r = right.select(
         *on,
         ts_col,
         F.lit(0).alias("__is_left"),
         F.col(tie_col).alias("__tie"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__payload"),
     )
     l = left.select(
         "*",
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(r.schema["__tie"].dataType).alias("__tie"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
     if direction == "backward":
@@ -82,19 +89,18 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w)
-            .alias(f"__f_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__payload"), ignorenulls=True).over(w).alias("__f"),
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"__f_{c}").alias(f"{prefix}{c}") for c in payload
+        F.col(f"__f.{c}").alias(f"{prefix}{c}") for c in payload
     ]
     return filled.filter(F.col("__is_left") == 1).select(*out_cols)
 
 
 # Oracle note: the DuckDB twin of a specific as-of query should mirror
-# THIS union + window construction column-by-column (see
-# __spark_entry__._sql_events_asof_clicks) rather than DuckDB's native
-# ASOF JOIN, whose equal-timestamp tie semantics differ.
+# THIS union + window construction (see __spark_entry__
+# SQL_EVENTS_ASOF_CLICKS) rather than DuckDB's native ASOF JOIN, whose
+# equal-timestamp tie semantics differ.  The twin may carry columns
+# individually (per-column last_value IGNORE NULLS) ONLY when every
+# payload field is non-null on the right side — otherwise it must pack a
+# struct like the engine does (atomic matched-row snapshot).

@@ -299,6 +299,50 @@ def test_json_flatten_map_per_key_columns(spark):
         flatten(wide, max_map_keys=5)
 
 
+def test_json_flatten_caller_supplied_map_keys(spark):
+    # map_keys= keeps flatten fully LAZY (no distinct-keys job) with a
+    # data-independent schema: listed-but-absent keys yield all-NULL
+    # columns, unlisted observed keys are dropped.
+    from pyspark.sql import types as T
+
+    from dp_data_quality_spark.sources.json_flatten import flatten
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+    ])
+    df = spark.createDataFrame([(1, {"color": "red", "junk": "x"})], schema)
+    flat = flatten(df, map_keys={"props": ["color", "size"]})
+    assert flat.columns == ["id", "props_color", "props_size"]
+    r = flat.first()
+    assert (r.props_color, r.props_size) == ("red", None)
+
+    # streaming inputs with map columns REQUIRE map_keys (no eager job
+    # is possible on a streaming plan) ...
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select("value", F.create_map(F.lit("k"), F.col("value")).alias("m"))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="streaming"):
+        flatten(sdf)
+    # ... and succeed lazily when supplied
+    sflat = flatten(sdf, map_keys={"m": ["k"]})
+    assert sflat.isStreaming and sflat.columns == ["value", "m_k"]
+
+
+def test_add_text_stats_preserves_caller_dunder_columns(spark):
+    from dp_data_quality_spark.ops.textstats import add_text_stats
+
+    df = spark.createDataFrame(
+        [("hello world", 7)], "text string, __mine int"
+    )
+    out = add_text_stats(df)
+    assert "__mine" in out.columns
+    assert out.first()["__mine"] == 7
+
+
 # --- clustering ----------------------------------------------------------
 
 def test_kmeans_converges_and_is_deterministic(spark, vecs):
@@ -447,6 +491,39 @@ def test_asof_join_forward_direction(spark):
     import pytest
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, right, ["k"], "t", ["rid"], "rid", direction="nearest")
+
+
+def test_asof_join_null_payload_field_not_backfilled(spark):
+    # The matched (nearest) right row carries its payload ATOMICALLY: a
+    # NULL field in that row must stay NULL, not back-fill from an older
+    # right row (pandas merge_asof returns the matched row verbatim).
+    import pandas as pd
+
+    from dp_data_quality_spark.ops.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 200), (2, "u1", 120)], "lid long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        # older row has price=9.0; the NEWER matched row (t=150) has a
+        # NULL price — per-column carry-forward would leak 9.0 into lid=1
+        [(10, "u1", 100, 9.0), (11, "u1", 150, None)],
+        "rid long, k string, t long, price double",
+    )
+    out = asof_join(left, right, on=["k"], ts_col="t",
+                    payload=["rid", "price"], tie_col="rid", prefix="m_")
+    got = {r.lid: (r.m_rid, r.m_price) for r in out.collect()}
+    assert got[1] == (11, None)   # matched row's NULL survives
+    assert got[2] == (10, 9.0)
+
+    lp = pd.DataFrame({"k": ["u1", "u1"], "t": [200, 120],
+                       "lid": [1, 2]}).sort_values("t")
+    rp = pd.DataFrame({"k": ["u1", "u1"], "t": [100, 150],
+                       "rid": [10, 11], "price": [9.0, None]}).sort_values("t")
+    m = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    pd_got = {int(r.lid): (int(r.rid), None if pd.isna(r.price) else r.price)
+              for r in m.itertuples()}
+    assert pd_got == got
 
 
 def test_frequent_items_ranks_and_ties(spark):
