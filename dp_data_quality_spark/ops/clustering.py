@@ -68,7 +68,10 @@ def kmeans_fit(
 
     Centroid update: posexplode dimensions → avg per (cluster, dim) →
     collect k×dim to the driver (tiny) for the next iteration's
-    broadcast literals."""
+    broadcast literals.  The SSE rides ALONG the same aggregate (summed
+    where dim==0, so each row counts once), making each Lloyd iteration
+    exactly ONE Spark job / one corpus scan — no separate SSE action,
+    no persist."""
     init = (
         df.filter(F.col(id_col) < k)
         .select(F.col(id_col).cast("int").alias("cid"), F.col(vec_col))
@@ -79,24 +82,29 @@ def kmeans_fit(
 
     for _ in range(n_iter):
         assigned = assign_clusters(df, centroids, id_col, vec_col)
-        assigned = assigned.persist()
-        sses.append(assigned.agg(F.sum("sq_dist")).first()[0])
         new_rows = (
             assigned.select(
-                "cluster", F.posexplode("embedding").alias("dim", "val")
+                "cluster", "sq_dist",
+                F.posexplode("embedding").alias("dim", "val"),
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.avg("val").alias("m"),
+                # each vector's sq_dist appears once per dim; count it
+                # only on dim 0 so the ride-along SSE is exact
+                F.sum(F.when(F.col("dim") == 0, F.col("sq_dist"))).alias("sse_d0"),
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dim", "m"))),
                     lambda s: s["m"],
-                ).alias("centroid")
+                ).alias("centroid"),
+                F.sum("sse_d0").alias("sse"),
             )
             .collect()
         )
-        assigned.unpersist()
+        sses.append(float(sum(r.sse for r in new_rows)))
         centroids = [(r.cluster, list(r.centroid)) for r in new_rows]
 
     return centroids, sses

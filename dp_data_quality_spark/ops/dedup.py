@@ -341,19 +341,32 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — FULL recall.
 
-    Candidate generation buckets signatures on 4 15-bit chunks (any
-    pair within Hamming ≤ 8 shares at least one exact chunk only
-    probabilistically — for a guarantee at distance d, use d+1 chunks;
-    with 4 chunks the guarantee holds for d ≤ 3, and higher-distance
-    recall is best-effort, which the docstring of the calling query
-    states). The chunk join keeps the shuffle on 15-bit keys."""
+    Candidate generation buckets signatures on ``max_hamming + 1``
+    near-equal bit chunks: a pair differing in at most d bits leaves at
+    least one of d+1 chunks untouched (pigeonhole), so every qualifying
+    pair meets in some bucket — the guarantee covers the threshold BY
+    CONSTRUCTION for any ``max_hamming``.
+
+    Trade-off dial: more chunks ⇒ narrower chunk keys ⇒ bigger buckets
+    ⇒ more candidate pairs to verify.  The default d=3 keeps 4 chunks of
+    15 bits (32k buckets per chunk — selective).  Raising d to 8 means
+    9 chunks of 6-7 bits (64-128 buckets): recall stays exact but each
+    bucket holds ~N/64 docs, so verification cost grows toward
+    O(N²/buckets) — at corpus scale prefer MinHash-LSH for high-distance
+    near-dup and keep SimHash for tight thresholds."""
     sigs = simhash(df, id_col, text_col).persist()  # self-joined below
-    n_chunks = 4
-    chunk_bits = SIMHASH_BITS // n_chunks
+    n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    # distribute the 60 bits as evenly as possible: the first
+    # (SIMHASH_BITS % n_chunks) chunks get one extra bit
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    widths = [base + 1 if ci < rem else base for ci in range(n_chunks)]
+    starts = [sum(widths[:ci]) for ci in range(n_chunks)]
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -362,8 +375,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(ci).alias("chunk"),
-                        F.shiftright(F.col("simhash"), ci * chunk_bits)
-                        .bitwiseAND((1 << chunk_bits) - 1)
+                        F.shiftright(F.col("simhash"), starts[ci])
+                        .bitwiseAND((1 << widths[ci]) - 1)
                         .alias("key"),
                     )
                     for ci in range(n_chunks)

@@ -286,6 +286,10 @@ def lsh_ann_topk(
         F.col(vec_col).alias("c_emb"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
+    # No distinct needed: a corpus vector lives in exactly ONE bucket,
+    # and a query's probe values are pairwise distinct, so each
+    # (query, neighbor) pair joins at most once — deduplicating here
+    # would only add a shuffle.
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -294,7 +298,6 @@ def lsh_ann_topk(
             "neighbor_id",
             cosine_pairs(F.col("q_emb"), F.col("c_emb")).alias("sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -134,11 +134,18 @@ def build_quality_report(
 
     ``include_report_id``: prepend the reference's 1-based ``DQ_REPORT_ID``
     surrogate (quality_report.py:207-208, ``np.arange`` over the assembled
-    frame) as ``row_number`` over a deterministic total order
-    (VALIDATION_ID, COLUMN_NAME, PRIMARY_KEY_VALUE).  This is a global
-    window over REPORT rows only (failures, not data) — the same
-    single-node materialization the reference's pandas assembly implies;
-    pass False to skip it when a report is itself huge.
+    frame) over the deterministic total order (VALIDATION_ID, COLUMN_NAME,
+    PRIMARY_KEY_VALUE).  Composed SCALE-SAFELY as group offset +
+    per-group ``row_number``: rows rank inside their (VALIDATION_ID,
+    COLUMN_NAME) partition (parallel across rules × columns), per-group
+    counts cumulate into starting offsets (tiny window — at most
+    rules × columns rows), and the offsets broadcast-join back.  The IDs
+    are numerically identical to a global ``row_number`` over the same
+    order, with no global unpartitioned window anywhere in the plan.
+    Residual skew bound: one (rule, column) pair with k failures ranks k
+    rows in one task — pathological only when a single rule/column fails
+    for a large fraction of a 100-TB table; pass False to skip the id
+    entirely in that regime.
     """
     spark = df.sparkSession
     df = C.normalize_column_names(df)
@@ -205,12 +212,46 @@ def build_quality_report(
     if include_report_id:
         from pyspark.sql import Window
 
-        order = Window.orderBy(
+        # group offset + per-group rank == global row_number over
+        # (VALIDATION_ID, COLUMN_NAME, PRIMARY_KEY_VALUE), but ranking
+        # runs parallel per (rule, column) partition and only the tiny
+        # per-group count table (≤ rules × columns rows) sees a global
+        # cumulative window.
+        in_group = Window.partitionBy("VALIDATION_ID", "COLUMN_NAME").orderBy(
+            F.col("PRIMARY_KEY_VALUE").asc_nulls_first()
+        )
+        ranked = report.withColumn(
+            "__rn", F.row_number().over(in_group)
+        )
+        counts = report.groupBy("VALIDATION_ID", "COLUMN_NAME").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        )
+        cum = Window.orderBy(
             F.col("VALIDATION_ID").asc_nulls_first(),
             F.col("COLUMN_NAME").asc_nulls_first(),
-            F.col("PRIMARY_KEY_VALUE").asc_nulls_first(),
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "VALIDATION_ID", "COLUMN_NAME",
+            F.coalesce(F.sum("__cnt").over(cum), F.lit(0)).alias("__off"),
         )
-        report = report.select(
-            F.row_number().over(order).alias("DQ_REPORT_ID"), "*"
+        report = (
+            ranked.join(
+                F.broadcast(offsets),
+                on=_nullsafe_eq(ranked, offsets, ["VALIDATION_ID", "COLUMN_NAME"]),
+            )
+            .select(
+                (F.col("__off") + F.col("__rn")).cast("int").alias("DQ_REPORT_ID"),
+                *[ranked[c] for c in ranked.columns if not c.startswith("__")],
+            )
         )
     return report
+
+
+def _nullsafe_eq(left: DataFrame, right: DataFrame, cols: list[str]):
+    """Join condition using null-safe equality (COLUMN_NAME is NULL for
+    schema-level and duplicate-rule rows)."""
+    cond = None
+    for c in cols:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else cond & eq
+    return cond

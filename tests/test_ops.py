@@ -101,6 +101,31 @@ def test_simhash_hamming(docs):
     assert ham(sigs[1], sigs[4]) < ham(sigs[1], sigs[5])  # near-dup closer
 
 
+def test_simhash_pairs_full_recall_at_threshold(spark):
+    # chunk count derives from max_hamming (d+1 chunks, pigeonhole), so
+    # simhash_pairs returns EVERY pair within the threshold — verified
+    # against brute-force all-pairs Hamming on the signatures, including
+    # at distance 8 (the old fixed-4-chunk scheme only guaranteed d<=3).
+    base = "the quick brown fox jumps over the lazy dog near a riverbank"
+    rows = [(i, base + f" extra{i % 7} tail{i % 5} mark{i}") for i in range(24)]
+    rows += [(100, base), (101, base + " x"), (102, base + " x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    ids = sorted(sigs)
+    for d in (3, 8):
+        expect = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                  if ham(sigs[a], sigs[b]) <= d}
+        got = {(r.doc_a, r.doc_b)
+               for r in D.simhash_pairs(df, max_hamming=d).collect()}
+        assert got == expect, f"d={d}"
+    # a distance-8-ish planted pair must be found at d=8
+    assert any(ham(sigs[a], sigs[b]) > 3 for a, b in
+               {(r.doc_a, r.doc_b)
+                for r in D.simhash_pairs(df, max_hamming=8).collect()})
+
+
 # --- similarity ----------------------------------------------------------
 
 @pytest.fixture(scope="module")
