@@ -1023,6 +1023,30 @@ FROM documents GROUP BY 1
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-20 deterministic eval sample per order priority
+    (``ops.sampling.stratified_sample``): smallest md5 key-hash wins,
+    so the sample is a pure function of the keys — identical across
+    runs, cluster sizes, and engines.  Strata rank in parallel (one
+    window per priority), only k rows per stratum survive."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.sampling import stratified_sample
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey")
+    return stratified_sample(
+        o, ["o_orderpriority"], k=20, key_col="o_orderkey"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from dp_data_quality_spark.ops.sampling import sql_stratified_sample
+
+    return sql_stratified_sample(
+        "(SELECT o_orderpriority, o_orderkey FROM orders)",
+        ["o_orderpriority"], k=20, key_col="o_orderkey",
+    )
+
+
 def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word 3-grams by document frequency over the documents
     corpus — the boilerplate/contamination panel
@@ -1078,6 +1102,75 @@ def _sql_minhash_signatures() -> str:
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 sh AS ({_SQL_EXPLODED_SHINGLES})
 SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup probe (``ops.incremental``): the
+    planted-duplicate docs (doc_id ≥ 100000) arrive as a NEW batch and
+    are deduplicated against the already-ingested originals' MinHash
+    signature INDEX — banded-LSH join of batch signatures vs index
+    signatures, candidates scored by signature agreement (the MinHash
+    Jaccard estimate).  Only 16-long signatures move; the historical
+    corpus text is never re-read.  The stateful wrapper
+    (``incremental_dedup`` — index persistence, batch_id partitions,
+    idempotent reruns) is exercised by pytest; this query gates the
+    probe math."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.incremental import signature_agreement_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    index_sigs = D.minhash_signatures(corpus.filter(F.col("doc_id") < 100000))
+    batch_sigs = D.minhash_signatures(corpus.filter(F.col("doc_id") >= 100000))
+    pairs = signature_agreement_pairs(batch_sigs, index_sigs, threshold=0.5)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+def _sql_dedup_incremental() -> str:
+    x = HS.sql_h32("shingle")
+    aggs = ", ".join(
+        f"min({HS.sql_minhash_perm(x, a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(HS.MINHASH_COEFFS)
+    )
+
+    def band_rows(src: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, ".format(b=bi)
+            + " || '_' || ".join(
+                f"CAST(sig_{bi * D.ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(D.ROWS_PER_BAND)
+            )
+            + f" AS key FROM {src}"
+            for bi in range(D.N_BANDS)
+        )
+
+    agree = " + ".join(
+        f"CASE WHEN ia.sig_{i} = ib.sig_{i} THEN 1 ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+sigs AS (
+  SELECT doc_id, {aggs}
+  FROM (SELECT doc_id, unnest({_sql_shingles('text')}) AS shingle FROM corpus)
+  GROUP BY doc_id
+),
+bsig AS (SELECT * FROM sigs WHERE doc_id >= 100000),
+isig AS (SELECT * FROM sigs WHERE doc_id < 100000),
+bbands AS ({band_rows('bsig')}),
+ibands AS ({band_rows('isig')}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bbands a JOIN ibands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id <> b.doc_id
+)
+SELECT c.doc_a, c.doc_b, round(({agree}) / 16.0, 6) AS est_jaccard
+FROM cands c
+JOIN bsig ia ON ia.doc_id = c.doc_a
+JOIN isig ib ON ib.doc_id = c.doc_b
+WHERE ({agree}) / 16.0 >= 0.5
 """
 
 
@@ -1548,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "profile_quantiles": q_profile_quantiles,
         "profile_quantiles_approx": q_profile_quantiles_approx,
+        "stratified_sample": q_stratified_sample,
         "histogram_prices": q_histogram_prices,
         "frequent_values": q_frequent_values,
         "events_pivot": q_events_pivot,
@@ -1559,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1591,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": _sql_profile_lineitem(),
         "profile_quantiles": _sql_profile_quantiles(),
         "profile_quantiles_approx": _sql_profile_quantiles_approx(),
+        "stratified_sample": _sql_stratified_sample(),
         "histogram_prices": _sql_histogram_prices(),
         "frequent_values": _sql_frequent_values(),
         "events_pivot": SQL_EVENTS_PIVOT,
@@ -1602,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sql_dataset_split(),
         "minhash_signatures": _sql_minhash_signatures(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_incremental": _sql_dedup_incremental(),
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "ann_lsh": _sql_ann_lsh(),

@@ -177,22 +177,13 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """Near-dup pairs via banded LSH then exact-Jaccard verification.
-
-    Band key = (band_idx, 4 signature values) → docs sharing any band
-    key become candidates; only candidates pay the exact-Jaccard verify.
-    The band join shuffles signatures (16 longs/doc), not text."""
-    # the bands self-join and the verify join would otherwise recompute
-    # the signature/shingle subtrees once per join side
-    sigs = minhash_signatures(df, id_col, text_col, n).persist()
-    bands = sigs.select(
+def signature_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys of a signature table: band key
+    = the 4 signature values of the band concatenated — docs sharing any
+    band key are LSH candidates.  Shared by the within-batch self-join
+    (:func:`minhash_lsh_pairs`) and the cross-run index probe
+    (``ops.incremental``)."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -212,6 +203,24 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH then exact-Jaccard verification.
+
+    Band key = (band_idx, 4 signature values) → docs sharing any band
+    key become candidates; only candidates pay the exact-Jaccard verify.
+    The band join shuffles signatures (16 longs/doc), not text."""
+    # the bands self-join and the verify join would otherwise recompute
+    # the signature/shingle subtrees once per join side
+    sigs = minhash_signatures(df, id_col, text_col, n).persist()
+    bands = signature_bands(sigs)
 
     a = bands.alias("a")
     b = bands.alias("b")

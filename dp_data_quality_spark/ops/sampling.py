@@ -53,6 +53,59 @@ def deterministic_split(
     return df.withColumn(out_col, split_column(F.col(f"`{key_col}`"), fractions))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    out_rank: str = "sample_rank",
+) -> DataFrame:
+    """EXACT-k deterministic sample per stratum — the fixed-size eval
+    sample a pipeline pins next to its fractional splits: keep the k
+    rows with the smallest md5-derived key hash inside each stratum
+    (hash-order ≈ uniform-random order, but a pure function of the key,
+    so the sample is identical on every run, cluster size, and engine).
+
+    Equivalent to a per-stratum reservoir sample of size k with the
+    hash as the priority — the distributed formulation is one window
+    ``row_number`` per stratum (strata rank in parallel; only k rows per
+    stratum survive).  Ties on the hash break by the key itself, so the
+    result is total-order deterministic even on hash collisions.
+
+    Output: input columns + ``sample_rank`` (1..k within the stratum).
+    A stratum with fewer than k rows keeps all its rows.  If ``key_col``
+    is not unique per row, duplicate keys can exceed k only by tying —
+    row_number still cuts at exactly k rows, deterministically."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    hash_col = h32(F.col(f"`{key_col}`").cast("string"))
+    w = Window.partitionBy(*[F.col(f"`{c}`") for c in strata_cols]).orderBy(
+        hash_col.asc(), F.col(f"`{key_col}`").asc()
+    )
+    return (
+        df.withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= k)
+    )
+
+
+def sql_stratified_sample(
+    table: str, strata_cols: list[str], k: int, key_col: str
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` — same md5 hash order."""
+    strata = ", ".join(strata_cols)
+    h = sql_h32(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+SELECT * FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY {strata} ORDER BY {h} ASC, {key_col} ASC
+  ) AS INT) AS sample_rank
+  FROM {table}
+) WHERE sample_rank <= {k}
+"""
+
+
 def sql_split_column(key: str, fractions: dict[str, float]) -> str:
     """DuckDB twin of :func:`split_column` — same md5 bucket, same
     boundaries."""

@@ -582,3 +582,36 @@ def test_deterministic_split_properties(spark):
     assert a == b
     with pytest.raises(ValueError, match="sum to 1"):
         deterministic_split(df, "k", {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    import hashlib as _hashlib
+
+    import pytest
+
+    from dp_data_quality_spark.ops.sampling import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    rows += [(1000, "tiny")]  # stratum smaller than k keeps all rows
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_sample(df, ["g"], k=10, key_col="k")
+    got = [(r.g, r.k, r.sample_rank) for r in out.collect()]
+    per = {}
+    for g, k, rank in got:
+        per.setdefault(g, []).append((rank, k))
+    assert {g: len(v) for g, v in per.items()} == {
+        "a": 10, "b": 10, "c": 10, "tiny": 1}
+    assert sorted(r for r, _ in per["a"]) == list(range(1, 11))
+    # the winners are exactly the k smallest md5-hash keys per stratum —
+    # recompute the hash contract in pure Python
+    h = lambda v: int(_hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+    for g in ("a", "b", "c"):
+        keys = [k for k, gg in rows if gg == g]
+        expect = sorted(keys, key=lambda k: (h(k), k))[:10]
+        assert sorted(k for _, k in per[g]) == sorted(expect)
+    # partitioning-independent
+    again = {(r.g, r.k, r.sample_rank)
+             for r in stratified_sample(df.repartition(7), ["g"], 10, "k").collect()}
+    assert set(got) == again
+    with pytest.raises(ValueError, match="positive"):
+        stratified_sample(df, ["g"], 0, "k")
