@@ -710,6 +710,21 @@ def _sql_profile_quantiles() -> str:
     return sql_profile_quantiles("lineitem", QUANTILE_COLS)
 
 
+def q_frequent_values_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path heavy hitters (``ops.profiling.frequent_items_approx``):
+    per-partition Misra-Gries candidate generation (bounded state) +
+    exact recount of candidates only — the extreme-cardinality variant
+    of ``frequent_values``.  At this capacity the candidate set provably
+    contains every true top-5 value, so the EXACT oracle SQL hash-gates
+    it."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import frequent_items_approx
+
+    return frequent_items_approx(
+        _t(spark, sf_dir, "lineitem"), FREQ_COLS, k=5, capacity=2048
+    )
+
+
 def q_profile_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-path quartiles (``ops.profiling.profile_quantiles_approx``,
     Greenwald-Khanna via ``percentile_approx``) — the 100-TB profiling
@@ -1642,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles": q_profile_quantiles,
         "profile_quantiles_approx": q_profile_quantiles_approx,
         "stratified_sample": q_stratified_sample,
+        "frequent_values_approx": q_frequent_values_approx,
         "histogram_prices": q_histogram_prices,
         "frequent_values": q_frequent_values,
         "events_pivot": q_events_pivot,
@@ -1687,6 +1703,9 @@ def oracle_sql() -> dict[str, str]:
         "profile_quantiles": _sql_profile_quantiles(),
         "profile_quantiles_approx": _sql_profile_quantiles_approx(),
         "stratified_sample": _sql_stratified_sample(),
+        # the sketch path's candidates provably cover the exact top-k at
+        # this capacity, so the EXACT oracle gates it
+        "frequent_values_approx": _sql_frequent_values(),
         "histogram_prices": _sql_histogram_prices(),
         "frequent_values": _sql_frequent_values(),
         "events_pivot": SQL_EVENTS_PIVOT,

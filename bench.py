@@ -60,6 +60,11 @@ BENCH_QUERIES_EXTRA = [
     "profile_quantiles",
     "histogram_prices",
     "corpus_curation",
+    # round 3
+    "profile_quantiles_approx",
+    "stratified_sample",
+    "dedup_incremental",
+    "frequent_values_approx",
 ]
 
 

@@ -268,9 +268,10 @@ def frequent_items(
 
     One pass: values go long (col_name, value-as-string), one
     count-aggregate, one rank window partitioned by col_name — columns
-    rank in parallel and only k rows per column survive.  At extreme
-    cardinalities swap the exact count for a count-min/approximate
-    top-k sketch; this is the exact path the oracle checks."""
+    rank in parallel and only k rows per column survive.  The aggregate
+    state here is O(distinct values); at extreme cardinality use
+    :func:`frequent_items_approx` (bounded Misra-Gries candidates +
+    exact recount).  This is the exact path the oracle checks."""
     from pyspark.sql import Window
 
     lf = df.select(
@@ -283,6 +284,82 @@ def frequent_items(
         ])).alias("e")
     ).select("e.col_name", "e.value").filter(F.col("value").isNotNull())
     counts = lf.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("n").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("col_name", "value", "n", "rank")
+    )
+
+
+def frequent_items_approx(
+    df: DataFrame, columns: list[str], k: int = 5, capacity: int = 2048
+) -> DataFrame:
+    """Top-``k`` per column at EXTREME cardinality — the sketch path
+    :func:`frequent_items`' docstring points to.  Two scans, both fully
+    parallel, state bounded by ``capacity`` everywhere:
+
+    1. **Candidate generation**: per input partition, a Misra-Gries
+       summary of ``capacity`` counters per column (Arrow-batched
+       ``mapInPandas``; numpy value_counts per batch merged into the
+       summary, decrement-on-overflow).  Any value with global count
+       > n/(capacity+1) is guaranteed to survive in at least one
+       partition's summary (averaging argument over partitions), so
+       true heavy hitters are never lost; each partition emits at most
+       ``capacity`` candidate values per column instead of its full
+       value domain.
+    2. **Exact recount**: one groupBy counting ONLY rows whose value is
+       in the (broadcast) candidate set, then the same per-column rank
+       window as the exact operator.  Counts in the output are exact —
+       the sketch only bounds WHICH values get counted.
+
+    Result == :func:`frequent_items` whenever every top-k value's count
+    exceeds n/(capacity+1) — always true at sandbox scale with the
+    default capacity, which is what lets the DuckDB oracle hash-gate
+    this path with the SAME SQL as the exact operator."""
+    from pyspark.sql import Window
+
+    lf = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"`{c}`").cast(T.StringType()).alias("value"),
+            )
+            for c in columns
+        ])).alias("e")
+    ).select("e.col_name", "e.value").filter(F.col("value").isNotNull())
+
+    def mg_partition(pdfs):
+        import pandas as pd
+
+        summaries: dict[str, dict[str, int]] = {}
+        for pdf in pdfs:
+            for col_name, grp in pdf.groupby("col_name"):
+                d = summaries.setdefault(col_name, {})
+                for value, cnt in grp["value"].value_counts().items():
+                    d[value] = d.get(value, 0) + int(cnt)
+                if len(d) > capacity:
+                    # Misra-Gries decrement: subtract the (len-capacity)-th
+                    # smallest count from everything, drop the <=0 —
+                    # at most capacity counters survive
+                    t = sorted(d.values())[len(d) - capacity - 1]
+                    summaries[col_name] = {
+                        v: c - t for v, c in d.items() if c - t > 0
+                    }
+        out = [(cn, v) for cn, d in summaries.items() for v in d]
+        yield pd.DataFrame(out, columns=["col_name", "value"])
+
+    candidates = (
+        lf.mapInPandas(mg_partition, "col_name string, value string")
+        .distinct()
+    )
+    counts = (
+        lf.join(F.broadcast(candidates), on=["col_name", "value"])
+        .groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy("col_name").orderBy(
         F.col("n").desc(), F.col("value").asc()
     )

@@ -563,6 +563,35 @@ def test_frequent_items_ranks_and_ties(spark):
     assert out == [("a", 2, 1), ("b", 2, 2)]
 
 
+def test_frequent_items_approx_finds_heavy_hitters(spark):
+    from dp_data_quality_spark.ops.profiling import (
+        frequent_items,
+        frequent_items_approx,
+    )
+
+    # skewed domain: two heavy values + a long tail of singletons
+    rows = [("hot1",)] * 400 + [("hot2",)] * 300 + [
+        (f"tail{i}",) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "s string").repartition(8)
+    exact = [(r.value, r.n, r.rank)
+             for r in frequent_items(df, ["s"], k=2).orderBy("rank").collect()]
+    # capacity=4 << 500 distinct values: the MG decrement path runs, yet
+    # the heavy hitters (count >> n/(capacity+1)) must survive with
+    # EXACT counts from the recount pass
+    got = [(r.value, r.n, r.rank)
+           for r in frequent_items_approx(df, ["s"], k=2, capacity=4)
+           .orderBy("rank").collect()]
+    assert got == exact == [("hot1", 400, 1), ("hot2", 300, 2)]
+    # generous capacity ⇒ identical to the exact operator even on ties
+    got_full = {(r.value, r.n, r.rank)
+                for r in frequent_items_approx(df, ["s"], k=5, capacity=10000)
+                .collect()}
+    exact_full = {(r.value, r.n, r.rank)
+                  for r in frequent_items(df, ["s"], k=5).collect()}
+    assert got_full == exact_full
+
+
 def test_deterministic_split_properties(spark):
     import pytest
 
