@@ -1120,6 +1120,42 @@ SELECT doc_id, {aggs} FROM sh GROUP BY doc_id
 """
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan (``ops.dedup.benchmark_contamination``):
+    every 13th document plays the EVAL SET; the remaining corpus docs
+    report how many of their distinct 3-gram shingles also occur in it.
+    One shuffle on shingle strings; the corpus is scanned once, never
+    self-joined — at 10⁹ docs the benchmark shingle set broadcasts."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        d.filter(F.col("doc_id") % 13 != 0),
+        d.filter(F.col("doc_id") % 13 == 0),
+    )
+
+
+def _sql_contamination_check() -> str:
+    sh = _sql_shingles("text")
+    return f"""
+WITH cs AS (
+  SELECT doc_id, unnest({sh}) AS shingle FROM documents WHERE doc_id % 13 <> 0
+),
+bs AS (
+  SELECT DISTINCT unnest({sh}) AS shingle FROM documents WHERE doc_id % 13 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id),
+hits AS (
+  SELECT cs.doc_id, count(*) AS n_overlap
+  FROM cs JOIN bs USING (shingle) GROUP BY cs.doc_id
+)
+SELECT h.doc_id, s.n_shingles, h.n_overlap,
+       round(h.n_overlap / CAST(s.n_shingles AS DOUBLE), 6) AS overlap_ratio
+FROM hits h JOIN sizes s USING (doc_id)
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-run incremental dedup probe (``ops.incremental``): the
     planted-duplicate docs (doc_id ≥ 100000) arrive as a NEW batch and
@@ -1670,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
+        "contamination_check": q_contamination_check,
         "dedup_simhash": q_dedup_simhash,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1718,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash_signatures(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_incremental": _sql_dedup_incremental(),
+        "contamination_check": _sql_contamination_check(),
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_bruteforce": _sql_ann_bruteforce(),
         "ann_lsh": _sql_ann_lsh(),

@@ -65,6 +65,7 @@ BENCH_QUERIES_EXTRA = [
     "stratified_sample",
     "dedup_incremental",
     "frequent_values_approx",
+    "contamination_check",
 ]
 
 

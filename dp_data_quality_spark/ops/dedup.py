@@ -113,6 +113,59 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     ).distinct()
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_overlap_ratio: float = 0.0,
+) -> DataFrame:
+    """Decontamination scan: per corpus document, how much of it is
+    covered by shingles that ALSO appear anywhere in a benchmark /
+    eval set — the overlap check a training-data pipeline runs before a
+    corpus ships (an eval question leaking into training data silently
+    inflates downstream scores).
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_ratio) for corpus
+    docs with overlap_ratio ≥ ``min_overlap_ratio`` (> 0 always; docs
+    sharing no shingle never join).  ``n_shingles`` counts the doc's
+    DISTINCT shingles; ``n_overlap`` how many of them occur in the
+    benchmark.
+
+    Plan: the benchmark's distinct shingle set (small — eval sets are
+    thousands of docs, not billions) joins the corpus's exploded
+    shingles on the shingle string; corpus docs aggregate their hit
+    counts.  ONE shuffle on shingles; the corpus is scanned once and
+    never self-joined.  At 10⁹ corpus docs the benchmark shingle set
+    broadcasts and even the shuffle disappears."""
+    cs = _exploded_shingles(corpus, id_col, text_col, n)
+    bs = (
+        _exploded_shingles(benchmark, bench_id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    sizes = cs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        cs.join(bs, on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(sizes, on="doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+            .alias("overlap_ratio"),
+        )
+        .filter(F.col("overlap_ratio") >= min_overlap_ratio)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (baseline / verify stage)
 # ---------------------------------------------------------------------------

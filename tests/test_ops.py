@@ -94,6 +94,34 @@ def test_minhash_signature_values(spark, docs):
         assert sig_row[f"sig_{i}"] == expect
 
 
+def test_benchmark_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim leak of the eval question
+            (1, "what is the capital of france paris obviously"),
+            # partial overlap (shares a 3-gram prefix)
+            (2, "what is the capital city of germany"),
+            # clean
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           D.benchmark_contamination(corpus, bench).collect()}
+    assert set(out) == {1, 2}  # doc 3 shares nothing → absent
+    assert out[1].overlap_ratio == 1.0
+    assert out[1].n_overlap == out[1].n_shingles
+    assert 0 < out[2].overlap_ratio < 1.0
+    # threshold filter
+    flagged = D.benchmark_contamination(
+        corpus, bench, min_overlap_ratio=0.9).collect()
+    assert [r.doc_id for r in flagged] == [1]
+
+
 def test_simhash_hamming(docs):
     sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
