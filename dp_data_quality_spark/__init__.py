@@ -15,8 +15,19 @@ Public modules
 - ``functions.langid``   — broadcast char-n-gram language ID (Arrow pandas UDF)
 - ``functions.perplexity`` — broadcast byte-n-gram LM perplexity (Arrow pandas UDF)
 - ``functions.heuristics`` — vectorized quality heuristics (pure Column exprs)
-- ``operators.dedup``    — exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup
-- ``operators.similarity`` — brute-force + LSH-bucketed ANN over embeddings
+- ``ops.dedup``          — exact / MinHash-LSH / SimHash / n-gram-Jaccard
+  dedup + benchmark decontamination
+- ``ops.incremental``    — cross-run dedup vs a persisted MinHash index
+- ``ops.similarity``     — brute-force + LSH/IVF-bucketed ANN over embeddings
+- ``ops.clustering``     — Lloyd's k-means (DataFrame-only)
+- ``ops.profiling``      — per-column profiling, exact + sketch quantiles,
+  exact + Misra-Gries heavy hitters, histograms
+- ``ops.sampling``       — deterministic splits + exact-k stratified samples
+- ``ops.textstats``      — codegen text statistics / quality scoring
+- ``ops.timeseries``     — as-of join (backward/forward)
+- ``ops.multimodal``     — binary media columns + Arrow feature plumbing
+- ``streaming``          — stream filter/dedup/interval-join + stateful
+  conversation summaries with processing- or event-time session GC
 - ``pipeline``           — end-to-end quality filter with lineage + resume
 - ``synth``              — deterministic distributed transcript synthesis
 """
