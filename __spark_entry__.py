@@ -917,6 +917,64 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality panel (the RefinedWeb "filter whole domains"
+    step): per ``source`` — doc/token/char totals, low-quality and
+    English counts, and a keep/drop verdict when more than half the
+    domain scores below the quality threshold.  One shuffle on the
+    domain key with map-side partial aggregation; every per-doc feature
+    is a codegen string kernel (``ops.textstats``), so at 100 TB this is
+    a single narrow scan + one agg.  All aggregates are integer-exact
+    (counts/sums of BIGINT) — no float accumulation whose summation
+    order could differ across engines; the one float (low_quality_frac)
+    is a single division of two exact longs."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    stats = TS.add_text_stats(d)
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            F.sum(F.col("n_chars_m").cast("long")).alias("total_chars"),
+            F.sum((F.col("quality_score") < 0.648).cast("long")).alias("n_low_quality"),
+            F.sum((F.col("lang_guess") == "en").cast("long")).alias("n_en"),
+        )
+        .withColumn(
+            "low_quality_frac",
+            F.round(F.col("n_low_quality") / F.col("n_docs"), 6),
+        )
+        .withColumn("keep_source", F.col("low_quality_frac") < 0.5)
+    )
+
+
+def _sql_source_quality_panel() -> str:
+    c = "text"
+    return f"""
+WITH stats AS (
+  SELECT source,
+         {TS.sql_token_count(c)} AS n_tokens,
+         length({c}) AS n_chars,
+         {TS.sql_quality_score(c)} AS quality_score,
+         {TS.sql_lang_guess(c)} AS lang_guess
+  FROM documents
+),
+panel AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN quality_score < 0.648 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         CAST(sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM stats GROUP BY source
+)
+SELECT *,
+       round(n_low_quality / CAST(n_docs AS DOUBLE), 6) AS low_quality_frac,
+       round(n_low_quality / CAST(n_docs AS DOUBLE), 6) < 0.5 AS keep_source
+FROM panel
+"""
+
+
 def _sql_text_quality_stats() -> str:
     c = "text"
     return f"""
@@ -1097,6 +1155,154 @@ SQL_DEDUP_JACCARD = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 {_SQL_JACCARD_CORE}
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (``ops.graph``): connected components
+    of the near-dup pair graph (threshold 0.5) over the planted-dup
+    corpus; every doc labelled with (component_id, component_size,
+    is_canonical).  Filtering ``is_canonical`` IS the corpus dedup — the
+    step the pair emitters stop short of.  Pairs come from the
+    MinHash-LSH scale path (banded candidates + exact verify, recall
+    proven == the exact Jaccard join on this corpus, CORRECTNESS_r02);
+    the DuckDB twin closes the exact Jaccard pairs with a recursive-CTE
+    transitive closure.  Min-label propagation converges in ~2 rounds
+    here (dup clusters are near-cliques)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.graph import resolve_duplicates
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    return resolve_duplicates(corpus, pairs).select(
+        "doc_id", "component_id", "component_size", "is_canonical"
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+{_SQL_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+csizes AS (
+  SELECT component_id, CAST(count(*) AS INT) AS component_size
+  FROM comp GROUP BY component_id
+)
+SELECT c.doc_id,
+       COALESCE(p.component_id, c.doc_id) AS component_id,
+       COALESCE(s.component_size, 1) AS component_size,
+       COALESCE(p.component_id, c.doc_id) = c.doc_id AS is_canonical
+FROM corpus c
+LEFT JOIN comp p ON p.id = c.doc_id
+LEFT JOIN csizes s ON s.component_id = COALESCE(p.component_id, c.doc_id)
+"""
+
+
+def q_neardup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split BY DUPLICATE CLUSTER
+    (``ops.graph.neardup_safe_split``): near-dups always land in the
+    same train/val/test split because the md5 split hash is taken over
+    the cluster's canonical id, not the doc id.  Pair graph = the
+    MinHash-LSH scale path; the oracle closes the exact Jaccard pairs
+    with a recursive CTE and applies the identical split hash."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.graph import neardup_safe_split
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5)
+    return neardup_safe_split(corpus, pairs, SPLIT_FRACTIONS).select(
+        "doc_id", "component_id", "split"
+    )
+
+
+def _sql_neardup_safe_split() -> str:
+    from dp_data_quality_spark.ops.sampling import sql_split_column
+
+    split = sql_split_column("component_id", SPLIT_FRACTIONS)
+    return f"""
+WITH RECURSIVE corpus AS ({_DUP_CORPUS_SQL}),
+{_SQL_JACCARD_CORE},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component_id FROM reach GROUP BY id),
+labelled AS (
+  SELECT c.doc_id, COALESCE(p.component_id, c.doc_id) AS component_id
+  FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id
+)
+SELECT doc_id, component_id, {split} AS split FROM labelled
+"""
+
+
+# Documents with planted boilerplate: a global header line on every doc
+# and one of three rotating footer lines — what a web crawl's site
+# chrome looks like after HTML extraction.
+_BOILER_CORPUS_SQL = """
+SELECT doc_id,
+       'subscribe to our newsletter today' || chr(10) ||
+       text || chr(10) ||
+       'copyright holder ' || CAST(doc_id % 3 AS STRING) AS text
+FROM documents
+"""
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal
+    (``ops.textstats.strip_boilerplate``): lines occurring in > 5% of
+    documents (planted header + rotating footers) are stripped from
+    every doc, payload lines survive.  Doc-frequency shuffles 32-byte
+    line digests, the total count is a lazy broadcast 1-row crossJoin,
+    and the rebuild is one groupBy — no window, no self-join."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.textstats import strip_boilerplate
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_BOILER_CORPUS_SQL)
+    return strip_boilerplate(corpus, max_df_frac=0.05)
+
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH corpus AS ({_BOILER_CORPUS_SQL}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS s FROM corpus),
+lines AS (
+  SELECT doc_id, i AS pos, s[i] AS line
+  FROM ls, UNNEST(generate_series(1, len(s))) AS t(i)
+),
+df_tab AS (SELECT line, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY line),
+nd AS (SELECT count(*) AS n_docs FROM corpus),
+boiler AS (SELECT line FROM df_tab, nd WHERE line_df > n_docs * 0.05),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS is_boiler
+  FROM lines l LEFT JOIN boiler b ON l.line = b.line
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM marked WHERE NOT is_boiler GROUP BY doc_id
+),
+rem AS (
+  SELECT doc_id, CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS INT) AS n_removed
+  FROM marked GROUP BY doc_id
+)
+SELECT r.doc_id, COALESCE(c.clean_text, '') AS clean_text, r.n_removed
+FROM rem r LEFT JOIN clean c USING (doc_id)
 """
 
 
@@ -1699,12 +1905,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
+        "source_quality_panel": q_source_quality_panel,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
         "dataset_split": q_dataset_split,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
+        "strip_boilerplate": q_strip_boilerplate,
+        "neardup_safe_split": q_neardup_safe_split,
         "dedup_incremental": q_dedup_incremental,
         "contamination_check": q_contamination_check,
         "dedup_simhash": q_dedup_simhash,
@@ -1748,12 +1958,16 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": SQL_EVENTS_PIVOT,
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
+        "source_quality_panel": _sql_source_quality_panel(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),
         "dataset_split": _sql_dataset_split(),
         "minhash_signatures": _sql_minhash_signatures(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_components": SQL_DEDUP_COMPONENTS,
+        "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+        "neardup_safe_split": _sql_neardup_safe_split(),
         "dedup_incremental": _sql_dedup_incremental(),
         "contamination_check": _sql_contamination_check(),
         "dedup_simhash": _sql_dedup_simhash(),

@@ -18,6 +18,8 @@ Public modules
 - ``ops.dedup``          — exact / MinHash-LSH / SimHash / n-gram-Jaccard
   dedup + benchmark decontamination
 - ``ops.incremental``    — cross-run dedup vs a persisted MinHash index
+- ``ops.graph``          — duplicate-graph connected components +
+  canonical-survivor resolution
 - ``ops.similarity``     — brute-force + LSH/IVF-bucketed ANN over embeddings
 - ``ops.clustering``     — Lloyd's k-means (DataFrame-only)
 - ``ops.profiling``      — per-column profiling, exact + sketch quantiles,

@@ -223,6 +223,69 @@ def fingerprint(c: Column) -> Column:
     return h60(normalize_text(c))
 
 
+def strip_boilerplate(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df_frac: float = 0.05,
+):
+    """Corpus-level boilerplate-line removal (the CCNet/RefinedWeb
+    cleaning step): a line occurring in more than ``max_df_frac`` of
+    documents (site headers, cookie banners, copyright footers) is
+    removed from every document.
+
+    Returns (id_col, clean_text, n_removed) — one row per input doc,
+    line order preserved, docs whose every line is boilerplate keep
+    ``clean_text = ''``.
+
+    Scale design: documents explode to (doc_id, pos, md5(line)) so the
+    doc-frequency groupBy shuffles a constant 32-byte digest, never the
+    line text; the total-doc count is a lazy 1-row crossJoin (no driver
+    action) like the histogram's two-pass stats; the per-doc rebuild is
+    one groupBy on doc_id with a sort-by-position array — no window, no
+    self-join.  Exact line identity (no normalization): boilerplate
+    stripping must byte-match what it deletes.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+
+    line_df = (
+        lines.select("lh", id_col)
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("line_df"))
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    boiler = (
+        line_df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("line_df") > F.col("n_docs") * F.lit(max_df_frac))
+        .select("lh", F.lit(True).alias("is_boiler"))
+    )
+
+    marked = lines.join(boiler, "lh", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"), F.struct("pos", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.col("is_boiler").cast("int")).cast("int").alias("n_removed"),
+    )
+
+
 def fingerprint_hex(c: Column) -> Column:
     return F.md5(normalize_text(c))
 

@@ -672,3 +672,111 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     assert set(got) == again
     with pytest.raises(ValueError, match="positive"):
         stratified_sample(df, ["g"], 0, "k")
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation vs a pure-Python union-find: a 7-node chain
+    (needs multiple propagation rounds — label 1 travels one hop per
+    round), a 3-clique, and an isolated pair."""
+    from dp_data_quality_spark.ops.graph import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11), (11, 12), (10, 12), (21, 20)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r.id, r.component_id)
+           for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expect = {(n, min(members)) for members in comp.values() for n in members}
+    assert got == expect
+    # partitioning-independent
+    again = {(r.id, r.component_id)
+             for r in connected_components(pairs.repartition(5)).collect()}
+    assert got == again
+
+
+def test_connected_components_round_bound(spark):
+    import pytest
+
+    from dp_data_quality_spark.ops.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_rounds=2)
+
+
+def test_resolve_duplicates_canonical_election(spark):
+    from dp_data_quality_spark.ops.graph import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 9, 50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = resolve_duplicates(docs, pairs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 9, 50}
+    assert [rows[i].component_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i].component_size for i in (1, 2, 3)] == [3, 3, 3]
+    assert [rows[i].is_canonical for i in (1, 2, 3)] == [True, False, False]
+    # docs outside the pair graph are their own singleton component
+    for i in (9, 50):
+        assert (rows[i].component_id, rows[i].component_size,
+                rows[i].is_canonical) == (i, 1, True)
+    # exactly one canonical survivor per component
+    kept = out.filter("is_canonical").count()
+    assert kept == out.select("component_id").distinct().count() == 3
+
+
+def test_strip_boilerplate_removes_frequent_lines(spark):
+    from dp_data_quality_spark.ops.textstats import strip_boilerplate
+
+    header = "COOKIE BANNER"
+    docs = [(i, f"{header}\npayload {i} alpha\npayload {i} beta") for i in range(10)]
+    docs.append((99, header))  # doc that is ONLY boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_boilerplate(df, max_df_frac=0.5).collect()}
+    assert len(out) == 11
+    for i in range(10):
+        # header stripped, payload order preserved
+        assert out[i].clean_text == f"payload {i} alpha\npayload {i} beta"
+        assert out[i].n_removed == 1
+    assert out[99].clean_text == "" and out[99].n_removed == 1
+    # below-threshold lines survive untouched
+    tame = strip_boilerplate(df, max_df_frac=2.0).collect()
+    assert all(r.n_removed == 0 for r in tame)
+
+
+def test_neardup_safe_split_keeps_clusters_together(spark):
+    from dp_data_quality_spark.ops.graph import neardup_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 20) for i in range(20)], "doc_a long, doc_b long"
+    )
+    out = neardup_safe_split(docs, pairs, {"train": 0.5, "test": 0.5})
+    rows = out.select("doc_id", "component_id", "split").collect()
+    by_comp: dict[int, set[str]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    # every near-dup cluster lands wholly in one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    # doc i and its near-dup i+20 agree
+    split_of = {r.doc_id: r.split for r in rows}
+    assert all(split_of[i] == split_of[i + 20] for i in range(20))
