@@ -917,6 +917,42 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document
+    (``ops.textstats.top_terms``): tf × BM25-flavored rational idf.
+    No transcendentals — ``ln``'s last-ulp behavior differs between
+    Java's and DuckDB's libm, so the idf is pure exact-rounded IEEE
+    multiply/divide and the hash gate stays bit-exact.  One explode +
+    two groupBys + a per-doc window (parallel, never global)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.textstats import top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return top_terms(d, k=5)
+
+
+def _sql_doc_top_terms() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, unnest({TS.sql_words('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         t.tf * (nd.n_docs - d.doc_freq + CAST(0.5 AS DOUBLE))
+              / (d.doc_freq + CAST(0.5 AS DOUBLE)) AS score
+  FROM tf t JOIN dfreq d USING (term), nd
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_source_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level quality panel (the RefinedWeb "filter whole domains"
     step): per ``source`` — doc/token/char totals, low-quality and
@@ -1249,6 +1285,262 @@ labelled AS (
   FROM corpus c LEFT JOIN comp p ON p.id = c.doc_id
 )
 SELECT doc_id, component_id, {split} AS split FROM labelled
+"""
+
+
+# Documents with a planted self-repetition: line 3 repeats line 1.
+_SELFDUP_CORPUS_SQL = """
+SELECT doc_id,
+       text || chr(10) || 'unique tail ' || CAST(doc_id AS STRING)
+            || chr(10) || text AS text
+FROM documents
+"""
+
+
+def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal
+    (``ops.textstats.dedup_lines_within_doc``, the MassiveText/Gopher
+    repetition cleanup): every doc carries a planted repeat of its first
+    line; the operator keeps the first occurrence in original order.
+    First-occurrence ranking windows over (doc, 32-byte line digest) —
+    parallel per distinct line, the shuffle never carries line text."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.textstats import dedup_lines_within_doc
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_SELFDUP_CORPUS_SQL)
+    return dedup_lines_within_doc(corpus)
+
+
+SQL_DEDUP_DOC_LINES = f"""
+WITH corpus AS ({_SELFDUP_CORPUS_SQL}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS s FROM corpus),
+lines AS (
+  SELECT doc_id, i AS pos, s[i] AS line
+  FROM ls, UNNEST(generate_series(1, len(s))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS occ
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE occ = 1), '') AS clean_text,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS INT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
+# Transcripts-shaped corpus derived deterministically from `events`
+# (both engines run this same SQL).  Conversations with
+# `user_id % 4 = 0` are DEFECTIVE: their turn order is md5-shuffled
+# relative to event time (=> timestamp regressions and role-alternation
+# breaks), tool-role turns lose their tool name (id%7), stray tool
+# names land on non-tool turns (id%89), the system turn vanishes
+# (id%17) and the index sequence gains gaps (idx%37).  The other ~3/4
+# are CLEAN — chronological order, strict user/assistant alternation
+# after the system turn — so the operator must both catch the planted
+# defects and certify the clean conversations.
+_CONV_CORPUS_SQL = """
+WITH numbered AS (
+  SELECT CAST(user_id AS STRING) AS conv_id,
+         user_id % 4 = 0 AS defect,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY
+              CASE WHEN user_id % 4 = 0
+                   THEN md5(CAST(event_id AS STRING)) ELSE '' END,
+              ts, event_id) - 1 AS INT) AS turn_idx,
+         event_id, event_type, ts
+  FROM events
+),
+shaped AS (
+  SELECT conv_id, turn_idx, event_id, defect,
+         CASE WHEN turn_idx = 0 THEN 'system'
+              WHEN defect AND event_id % 11 = 0 THEN 'tool'
+              WHEN (CASE WHEN defect THEN event_id ELSE turn_idx END) % 2 = 1
+                   THEN 'user'
+              ELSE 'assistant' END AS role,
+         event_type || ' event ' || CAST(event_id AS STRING) AS text,
+         CASE WHEN defect AND turn_idx <> 0 AND event_id % 11 = 0
+                   AND event_id % 7 <> 0
+                   THEN 'tool_' || CAST(event_id % 5 AS STRING)
+              WHEN defect AND turn_idx <> 0 AND event_id % 11 <> 0
+                   AND event_id % 89 = 5
+                   THEN 'stray_tool'
+         END AS tool,
+         ts
+  FROM numbered
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM shaped
+WHERE NOT (defect AND turn_idx % 37 = 23)
+  AND NOT (defect AND turn_idx = 0 AND event_id % 17 = 3)
+"""
+
+
+def q_conversation_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation structural audit
+    (``ops.convstats.conversation_structure``): role-alternation breaks
+    (tool/system turns transparent), turn-index contiguity, tool-column
+    consistency both directions, timestamp regressions, per-role counts
+    and a ``structure_ok`` verdict — the reference's rule-report shape
+    (validation_rulebook.py's per-column battery) keyed by conversation
+    instead of column.  One hash Exchange on ``conv_id``: the flag
+    window and the aggregate share the partitioning."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import conversation_structure
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_CONV_CORPUS_SQL)
+    return conversation_structure(corpus)
+
+
+SQL_CONVERSATION_STRUCTURE = f"""
+WITH t AS ({_CONV_CORPUS_SQL}),
+flags AS (
+  SELECT conv_id, turn_idx, role,
+    CASE WHEN role IN ('user', 'assistant') AND role = last_value(
+           CASE WHEN role IN ('user', 'assistant') THEN role END
+           IGNORE NULLS) OVER w
+         THEN 1 ELSE 0 END AS alt_break,
+    CASE WHEN (role = 'tool') <> (tool IS NOT NULL) THEN 1 ELSE 0 END AS tool_mm,
+    CASE WHEN ts < lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+         THEN 1 ELSE 0 END AS ts_reg
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+agg AS (
+  SELECT conv_id,
+    count(*) AS n_turns,
+    CAST(sum(CASE WHEN role = 'system' THEN 1 ELSE 0 END) AS INT) AS n_system,
+    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT) AS n_user,
+    CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT) AS n_assistant,
+    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS INT) AS n_tool,
+    COALESCE(max(CASE WHEN turn_idx = 0 THEN
+        CASE WHEN role = 'system' THEN 1 ELSE 0 END END), 0) AS starts_with_system,
+    CASE WHEN min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+         THEN 1 ELSE 0 END AS idx_contiguous,
+    CAST(sum(alt_break) AS INT) AS alternation_breaks,
+    CAST(sum(tool_mm) AS INT) AS tool_mismatch,
+    CAST(sum(ts_reg) AS INT) AS ts_regressions
+  FROM flags GROUP BY conv_id
+)
+SELECT *,
+  CASE WHEN starts_with_system = 1 AND idx_contiguous = 1
+        AND alternation_breaks = 0 AND tool_mismatch = 0
+        AND ts_regressions = 0 THEN 1 ELSE 0 END AS structure_ok
+FROM agg
+"""
+
+
+# Chronological transcripts-shaped corpus for sequence packing and
+# coherence scoring: a planted id%7 padding term makes per-turn token
+# counts vary (3..9) so greedy chunk boundaries fall irregularly, and
+# id%53 turns are vocabulary-disjoint "topic teleports" for the
+# coherence operator's n_disjoint gate.
+_PACK_CORPUS_SQL = """
+SELECT CAST(user_id AS STRING) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+       CASE WHEN event_id % 53 = 7 THEN 'offtopic detour aside'
+            ELSE event_type || ' event ' || CAST(event_id AS STRING)
+                 || repeat(' pad', CAST(event_id % 7 AS INT)) END AS text
+FROM events
+"""
+
+_PACK_BUDGET = 24
+
+
+def q_pack_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (``ops.packing.pack_conversations``):
+    conversations → chunks of ≤ 24 whitespace tokens, turn order
+    preserved, over-budget turns isolated rather than split.  Token
+    counts via the codegen ``word_count`` kernel BEFORE the single
+    ``conv_id`` Exchange; Python sees only the int array per
+    conversation (the greedy cut is irreducibly sequential) and emits
+    finished chunk rows — no second shuffle.  Oracle replays the greedy
+    walk as a DuckDB recursive CTE."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.packing import pack_conversations
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_PACK_CORPUS_SQL)
+    return pack_conversations(corpus, budget=_PACK_BUDGET)
+
+
+def _sql_pack_conversations() -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({_PACK_CORPUS_SQL}),
+seq AS (
+  SELECT conv_id, turn_idx, text,
+         CAST({TS.sql_word_count('text')} AS INT) AS tok
+  FROM corpus
+),
+walk AS (
+  SELECT conv_id, turn_idx, text, tok, 0 AS chunk_id, tok AS fill
+  FROM seq WHERE turn_idx = 0
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.text, s.tok,
+         CASE WHEN w.fill > 0 AND w.fill + s.tok > {_PACK_BUDGET}
+              THEN w.chunk_id + 1 ELSE w.chunk_id END,
+         CASE WHEN w.fill > 0 AND w.fill + s.tok > {_PACK_BUDGET}
+              THEN s.tok ELSE w.fill + s.tok END
+  FROM walk w JOIN seq s
+    ON s.conv_id = w.conv_id AND s.turn_idx = w.turn_idx + 1
+)
+SELECT conv_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(sum(tok) AS INT) AS n_tokens,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM walk GROUP BY conv_id, chunk_id
+"""
+
+
+def q_turn_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn lexical coherence
+    (``ops.convstats.turn_coherence``): per-conversation mean Jaccard
+    overlap of adjacent turns' word sets plus the integer-exact
+    disjoint-pair count — the "topic teleport" drop signal per-turn
+    rules can't see.  JVM-side array_intersect on distinct word arrays;
+    union size derived as |A|+|B|-|A∩B| so both engines evaluate the
+    identical float expression; one conv_id Exchange shared by lag
+    window and aggregate."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import turn_coherence
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_PACK_CORPUS_SQL)
+    return turn_coherence(corpus)
+
+
+def _sql_turn_coherence() -> str:
+    ws = f"list_distinct({TS.sql_words('text')})"
+    return f"""
+WITH corpus AS ({_PACK_CORPUS_SQL}),
+sets AS (SELECT conv_id, turn_idx, {ws} AS ws FROM corpus),
+lagged AS (
+  SELECT conv_id, ws,
+         lag(ws) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pws
+  FROM sets
+),
+pairs AS (
+  SELECT conv_id,
+         CASE WHEN pws IS NOT NULL THEN 1 ELSE 0 END AS is_pair,
+         CASE WHEN pws IS NOT NULL THEN len(list_intersect(ws, pws)) END AS inter,
+         CASE WHEN pws IS NOT NULL
+              THEN len(ws) + len(pws) - len(list_intersect(ws, pws)) END AS denom
+  FROM lagged
+)
+SELECT conv_id,
+       CAST(sum(is_pair) AS INT) AS n_pairs,
+       round(COALESCE(avg(CASE WHEN denom > 0
+                  THEN CAST(inter AS DOUBLE) / denom
+                  WHEN denom = 0 THEN 0.0 END), 0.0), 6)
+         AS avg_jaccard,
+       CAST(COALESCE(sum(CASE WHEN inter = 0 THEN 1 ELSE 0 END), 0) AS INT)
+         AS n_disjoint
+FROM pairs GROUP BY conv_id
 """
 
 
@@ -1906,6 +2198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "text_quality_stats": q_text_quality_stats,
         "source_quality_panel": q_source_quality_panel,
+        "doc_top_terms": q_doc_top_terms,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "conversation_structure": q_conversation_structure,
+        "pack_conversations": q_pack_conversations,
+        "turn_coherence": q_turn_coherence,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -1959,6 +2256,11 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _sql_scrub_pii(),
         "text_quality_stats": _sql_text_quality_stats(),
         "source_quality_panel": _sql_source_quality_panel(),
+        "doc_top_terms": _sql_doc_top_terms(),
+        "dedup_doc_lines": SQL_DEDUP_DOC_LINES,
+        "conversation_structure": SQL_CONVERSATION_STRUCTURE,
+        "pack_conversations": _sql_pack_conversations(),
+        "turn_coherence": _sql_turn_coherence(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

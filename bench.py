@@ -70,6 +70,11 @@ BENCH_QUERIES_EXTRA = [
     "strip_boilerplate",
     "source_quality_panel",
     "neardup_safe_split",
+    "doc_top_terms",
+    "dedup_doc_lines",
+    "conversation_structure",
+    "pack_conversations",
+    "turn_coherence",
 ]
 
 

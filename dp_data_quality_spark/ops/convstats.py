@@ -1,0 +1,157 @@
+"""Conversation-structure validation for multi-turn transcripts.
+
+The reference validates flat tables column-by-column
+(``validation_rulebook.py``); a transcript corpus additionally has
+CROSS-ROW structure per conversation — role alternation, contiguous
+turn indices, tool-call consistency, monotone timestamps.  Broken
+structure is a strong drop signal for SFT data (a conversation whose
+turns are out of order or whose tool calls lost their tool name can't
+be replayed for training), so this operator turns those invariants
+into per-conversation metrics + a verdict, the same shape as the
+reference's per-column rule report but keyed by ``conv_id``.
+
+Scale: one hash Exchange on ``conv_id`` — the per-turn flag window and
+the per-conversation aggregate both partition on it, so Spark reuses
+the partitioning (plan shows a single Exchange).  Nothing carries text;
+per-conversation state is a fixed handful of counters, and skewed
+mega-threads are bounded by the window being a simple running lag (no
+whole-partition buffering beyond Spark's own window spill).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .textstats import words
+
+
+def conversation_structure(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    system_role: str = "system",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+    tool_role: str = "tool",
+) -> DataFrame:
+    """Per-conversation structural audit of a transcripts table.
+
+    Returns one row per conversation:
+
+    - ``n_turns`` and per-role counts (``n_system`` / ``n_user`` /
+      ``n_assistant`` / ``n_tool``);
+    - ``starts_with_system`` — turn 0 exists and carries the system
+      role;
+    - ``idx_contiguous`` — turn indices run 0..n_turns-1 with no gaps
+      (indices are assumed unique per conversation, as produced by the
+      pipeline's stable re-sort);
+    - ``alternation_breaks`` — user/assistant turns whose previous
+      user/assistant turn (tool and system turns are transparent) had
+      the SAME role: double-texting or a dropped reply;
+    - ``tool_mismatch`` — turns where ``role = 'tool'`` disagrees with
+      ``tool IS NOT NULL`` in either direction;
+    - ``ts_regressions`` — turns whose timestamp precedes the previous
+      turn's;
+    - ``structure_ok`` — 1 iff all of the above are clean.
+
+    Flags are INT 0/1 (not BOOLEAN) so the output hashes identically
+    across engines in the correctness harness.
+    """
+    conv, idx, role, tool, ts = (
+        F.col(conv_col), F.col(idx_col), F.col(role_col),
+        F.col(tool_col), F.col(ts_col),
+    )
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    is_ua = role.isin(user_role, assistant_role)
+    prev_ua_role = F.last(
+        F.when(is_ua, role), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    prev_ts = F.lag(ts).over(w)
+
+    flags = df.select(
+        conv.alias("conv_id"),
+        idx.alias("turn_idx"),
+        role.alias("role"),
+        (is_ua & (prev_ua_role == role)).cast("int").alias("alt_break"),
+        ((role == tool_role) != tool.isNotNull()).cast("int").alias("tool_mm"),
+        (prev_ts.isNotNull() & (ts < prev_ts)).cast("int").alias("ts_reg"),
+    )
+
+    n = F.count(F.lit(1))
+    return flags.groupBy("conv_id").agg(
+        n.alias("n_turns"),
+        F.sum((F.col("role") == system_role).cast("int")).cast("int").alias("n_system"),
+        F.sum((F.col("role") == user_role).cast("int")).cast("int").alias("n_user"),
+        F.sum((F.col("role") == assistant_role).cast("int")).cast("int").alias("n_assistant"),
+        F.sum((F.col("role") == tool_role).cast("int")).cast("int").alias("n_tool"),
+        F.coalesce(
+            F.max(F.when(F.col("turn_idx") == 0,
+                         (F.col("role") == system_role).cast("int"))),
+            F.lit(0),
+        ).alias("starts_with_system"),
+        ((F.min("turn_idx") == 0) & (F.max("turn_idx") == n - 1))
+        .cast("int").alias("idx_contiguous"),
+        F.sum("alt_break").cast("int").alias("alternation_breaks"),
+        F.sum("tool_mm").cast("int").alias("tool_mismatch"),
+        F.sum("ts_reg").cast("int").alias("ts_regressions"),
+    ).withColumn(
+        "structure_ok",
+        (
+            (F.col("starts_with_system") == 1)
+            & (F.col("idx_contiguous") == 1)
+            & (F.col("alternation_breaks") == 0)
+            & (F.col("tool_mismatch") == 0)
+            & (F.col("ts_regressions") == 0)
+        ).cast("int"),
+    )
+
+
+def turn_coherence(df: DataFrame,
+                   conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx",
+                   text_col: str = "text") -> DataFrame:
+    """Adjacent-turn lexical coherence per conversation.
+
+    For every turn after the first, the Jaccard overlap between its
+    word SET and the previous turn's; per conversation this aggregates
+    to ``n_pairs``, ``avg_jaccard`` (rounded to 6 dp — the only
+    engine-divergence risk is summation order in the mean) and
+    ``n_disjoint`` (adjacent pairs sharing no word at all — the
+    integer-exact "topic teleport" count).  A conversation whose
+    adjacent turns never share vocabulary is usually a concatenation
+    artifact or interleaved sessions, not a dialogue — a drop signal
+    the per-turn rules can't see.
+
+    Scale: one hash Exchange on the conversation id shared by the lag
+    window and the aggregate; the Jaccard is JVM-side
+    ``array_intersect`` on distinct word arrays (codegen — no Python,
+    no HOF lambda), and the union size is derived as
+    ``|A| + |B| - |A∩B|`` so both engines evaluate the identical
+    float expression.
+    """
+    ws = F.array_distinct(words(F.col(text_col)))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        ws.alias("__ws"),
+    )
+    prev = F.lag("__ws").over(w)
+    inter = F.size(F.array_intersect(F.col("__ws"), prev))
+    denom = F.size(F.col("__ws")) + F.size(prev) - inter
+    jac = F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0))
+    pairs = cur.select(
+        "conv_id",
+        prev.isNotNull().cast("int").alias("is_pair"),
+        F.when(prev.isNotNull(), jac).alias("jac"),
+        F.when(prev.isNotNull(), (inter == 0).cast("int")).alias("disjoint"),
+    )
+    return pairs.groupBy("conv_id").agg(
+        F.sum("is_pair").cast("int").alias("n_pairs"),
+        F.round(F.coalesce(F.avg("jac"), F.lit(0.0)), 6).alias("avg_jaccard"),
+        F.coalesce(F.sum("disjoint"), F.lit(0)).cast("int").alias("n_disjoint"),
+    )

@@ -223,6 +223,50 @@ def fingerprint(c: Column) -> Column:
     return h60(normalize_text(c))
 
 
+def top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Top-k characteristic terms per document: term frequency weighted
+    by a BM25-flavored RATIONAL idf, ``tf * (N - df + 0.5) / (df + 0.5)``.
+
+    Deliberately no logarithm: ``ln`` is a transcendental whose last-ulp
+    behavior differs between Java's and DuckDB's libm, which would break
+    bit-exact cross-engine verification; the rational idf keeps the same
+    ranking behavior (monotone decreasing in df) using only exact-rounded
+    IEEE multiply/divide.
+
+    Scale: one explode + two groupBys (term stats shuffle on the term;
+    doc-frequency rows are one per (doc, term)); the corpus size joins as
+    a lazy broadcast 1-row crossJoin; ranking is a per-doc window
+    (partitioned by doc id — parallel, never global).
+    """
+    from pyspark.sql.window import Window
+
+    w = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("doc_freq") + 0.5)
+            / (F.col("doc_freq") + 0.5),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "doc_freq",
+            F.round("score", 6).alias("score"), "rank",
+        )
+    )
+
+
 def strip_boilerplate(
     df,
     id_col: str = "doc_id",
@@ -283,6 +327,51 @@ def strip_boilerplate(
             sep,
         ).alias("clean_text"),
         F.sum(F.col("is_boiler").cast("int")).cast("int").alias("n_removed"),
+    )
+
+
+def dedup_lines_within_doc(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+):
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in original order (the MassiveText/Gopher
+    repetition-cleanup step — self-repeating docs are a strong
+    low-quality signal, and the repeats themselves waste tokens).
+
+    Returns (id_col, clean_text, n_removed).  Companion to
+    :func:`strip_boilerplate`, which removes lines frequent ACROSS
+    documents.
+
+    Scale: first-occurrence ranking is a window over
+    ``(doc_id, md5(line))`` — partitioned by doc AND line digest, so
+    parallelism is per (doc, distinct line), never per doc alone, and
+    the shuffle key is a constant 32-byte digest; the rebuild is one
+    groupBy on the doc id with a sort-by-position array.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    win = Window.partitionBy(id_col, "lh").orderBy("pos")
+    ranked = lines.withColumn("occ", F.row_number().over(win))
+    return ranked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("occ") == 1, F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum((F.col("occ") > 1).cast("int")).cast("int").alias("n_removed"),
     )
 
 

@@ -780,3 +780,118 @@ def test_neardup_safe_split_keeps_clusters_together(spark):
     # doc i and its near-dup i+20 agree
     split_of = {r.doc_id: r.split for r in rows}
     assert all(split_of[i] == split_of[i + 20] for i in range(20))
+
+
+def test_top_terms_rational_idf(spark):
+    from dp_data_quality_spark.ops.textstats import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana banana"), (2, "apple cherry"), (3, "apple date date")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in top_terms(docs, k=2).collect()}
+    # rarer terms outrank the ubiquitous 'apple' (df=3)
+    assert out[(1, 1)].term == "banana" and out[(1, 2)].term == "apple"
+    assert out[(2, 1)].term == "cherry"
+    assert out[(3, 1)].term == "date"
+    # hand-computed rational idf: tf * (N - df + 0.5) / (df + 0.5)
+    assert out[(1, 1)].score == round(2 * (3 - 1 + 0.5) / (1 + 0.5), 6)
+    assert out[(1, 2)].score == round(1 * (3 - 3 + 0.5) / (3 + 0.5), 6)
+    assert all(r.doc_freq == 3 for r in
+               (out[(1, 2)],)) and out[(1, 1)].doc_freq == 1
+
+
+def test_conversation_structure_verdicts(spark):
+    from datetime import datetime as dt
+
+    from dp_data_quality_spark.ops.convstats import conversation_structure
+
+    t0 = dt(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return dt(2024, 1, 1, 12, 0, s)
+
+    rows = [
+        # clean: system, user, assistant, tool (transparent), user, assistant
+        ("a", 0, "system", "s", None, ts(0)),
+        ("a", 1, "user", "q", None, ts(1)),
+        ("a", 2, "assistant", "r", None, ts(2)),
+        ("a", 3, "tool", "o", "search", ts(3)),
+        ("a", 4, "user", "q2", None, ts(4)),
+        ("a", 5, "assistant", "r2", None, ts(5)),
+        # broken: no system turn 0 (starts at 1 => gap too), double-user
+        # across a transparent tool turn, tool row missing tool name,
+        # stray tool name on a user turn, timestamp regression
+        ("b", 1, "user", "q", "stray", ts(1)),
+        ("b", 2, "tool", "o", None, ts(2)),
+        ("b", 3, "user", "q2", None, ts(1)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {r.conv_id: r for r in conversation_structure(df).collect()}
+
+    a = out["a"]
+    assert (a.n_turns, a.n_system, a.n_user, a.n_assistant, a.n_tool) == (6, 1, 2, 2, 1)
+    assert (a.starts_with_system, a.idx_contiguous) == (1, 1)
+    assert (a.alternation_breaks, a.tool_mismatch, a.ts_regressions) == (0, 0, 0)
+    assert a.structure_ok == 1
+
+    b = out["b"]
+    assert (b.starts_with_system, b.idx_contiguous) == (0, 0)
+    # user at idx 3 repeats user at idx 1 through the transparent tool turn
+    assert b.alternation_breaks == 1
+    # tool-role row with NULL tool + user row with a tool name
+    assert b.tool_mismatch == 2
+    assert b.ts_regressions == 1
+    assert b.structure_ok == 0
+
+
+def test_pack_conversations_greedy(spark):
+    from dp_data_quality_spark.ops.packing import pack_conversations
+
+    # token counts per turn: 3, 4, 4, 9, 2  with budget 8:
+    #   chunk 0 = [3, 4] (7), chunk 1 = [4] (4+9 would blow), chunk 2 = [9]
+    #   (oversize isolated, over budget), chunk 3 = [2]
+    rows = [
+        ("c", 0, "a b c"),
+        ("c", 1, "d e f g"),
+        ("c", 2, "h i j k"),
+        ("c", 3, "1 2 3 4 5 6 7 8 9"),
+        ("c", 4, "x y"),
+        ("d", 0, ""),          # zero-token turn stays in chunk 0
+        ("d", 1, "lone"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {(r.conv_id, r.chunk_id): r
+           for r in pack_conversations(df, budget=8).collect()}
+
+    assert out[("c", 0)].n_tokens == 7 and out[("c", 0)].n_turns == 2
+    assert out[("c", 0)].text == "a b c\nd e f g"
+    assert out[("c", 1)].n_tokens == 4
+    assert out[("c", 2)].n_tokens == 9 and out[("c", 2)].n_turns == 1
+    assert out[("c", 3)].n_tokens == 2
+    assert ("c", 4) not in out
+    # empty first turn contributes zero fill; both turns pack together
+    assert out[("d", 0)].n_turns == 2 and out[("d", 0)].n_tokens == 1
+    assert out[("d", 0)].text == "\nlone"
+
+
+def test_turn_coherence_jaccard(spark):
+    from dp_data_quality_spark.ops.convstats import turn_coherence
+
+    rows = [
+        ("c", 0, "alpha beta gamma"),
+        ("c", 1, "beta gamma delta"),     # |∩|=2, |∪|=4 → 0.5
+        ("c", 2, "zzz qqq"),              # disjoint → 0.0
+        ("s", 0, "only one turn"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in turn_coherence(df).collect()}
+    c = out["c"]
+    assert c.n_pairs == 2 and c.n_disjoint == 1
+    assert c.avg_jaccard == round((0.5 + 0.0) / 2, 6)
+    s = out["s"]
+    assert (s.n_pairs, s.avg_jaccard, s.n_disjoint) == (0, 0.0, 0)
