@@ -51,52 +51,68 @@ def connected_components(
     hash string keys to int64 first if ordering by raw strings is not
     intended.  One shuffle per round on the node id; rounds = component
     diameter (near-dup clusters: 2-4)."""
+    # Both edge directions from ONE pass over `pairs` (explode, not
+    # union-of-two-selects: pair emitters like minhash_lsh_pairs are
+    # expensive subtrees, and a union would execute that subtree twice
+    # before anything materializes).  The edge table is then
+    # localCheckpoint-ed, not persist-ed: the loop joins edges against
+    # labels DERIVED FROM edges, and Spark's self-join de-duplication
+    # re-analyzes that branch with fresh expression ids, which misses
+    # the cache for the Generate(explode) plan and silently re-executes
+    # the whole pair pipeline every round (measured: 14s rounds vs 1.5s
+    # with the truncated plan at sf0.1).  Checkpointing cuts the
+    # lineage, so reuse is unconditional and the pair emitter runs
+    # exactly once.  Production note: executor loss drops local
+    # checkpoints — use reliable checkpointing for multi-hour jobs.
+    a, b = F.col(a_col), F.col(b_col)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
-        .persist()  # re-joined every round
+        .localCheckpoint(eager=True)  # re-joined every round
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    try:
-        for _ in range(max_rounds):
-            # labels of each node's neighbours, shipped along the edges
-            neigh = edges.join(
-                labels, edges["src"] == labels["id"], "inner"
-            ).select(F.col("dst").alias("id"), "label")
-            # own row carries the previous label in "old" so the changed
-            # count needs no self-join; min ignores the neighbours' nulls
-            both = labels.select(
-                "id", "label", F.col("label").alias("old")
-            ).unionByName(
-                neigh.withColumn(
-                    "old", F.lit(None).cast(neigh.schema["label"].dataType)
-                )
+    for _ in range(max_rounds):
+        # labels of each node's neighbours, shipped along the edges
+        neigh = edges.join(
+            labels, edges["src"] == labels["id"], "inner"
+        ).select(F.col("dst").alias("id"), "label")
+        # own row carries the previous label in "old" so the changed
+        # count needs no self-join; min ignores the neighbours' nulls
+        both = labels.select(
+            "id", "label", F.col("label").alias("old")
+        ).unionByName(
+            neigh.withColumn(
+                "old", F.lit(None).cast(neigh.schema["label"].dataType)
             )
-            new = both.groupBy("id").agg(
-                F.min("label").alias("label"), F.min("old").alias("old")
-            )
-            # Truncate lineage each round: iterative plans otherwise NEST
-            # (round k's plan embeds round k-1's), and by ~6 rounds plan
-            # compilation itself OOMs.  localCheckpoint materializes the
-            # round's labels and restarts the plan from the stored blocks
-            # (one job; the convergence count below reads those blocks).
-            # Production note: executor loss drops local checkpoints —
-            # use reliable checkpointing for multi-hour jobs.
-            new = new.localCheckpoint(eager=True)
-            changed = new.filter(F.col("label") < F.col("old")).count()
-            labels = new.select("id", "label")
-            if changed == 0:
-                return labels.select("id", F.col("label").alias("component_id"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds "
-            "(graph diameter exceeds the bound — raise max_rounds or use "
-            "an alternating-star formulation)"
         )
-    finally:
-        edges.unpersist()
+        new = both.groupBy("id").agg(
+            F.min("label").alias("label"), F.min("old").alias("old")
+        )
+        # Truncate lineage each round: iterative plans otherwise NEST
+        # (round k's plan embeds round k-1's), and by ~6 rounds plan
+        # compilation itself OOMs.  localCheckpoint materializes the
+        # round's labels and restarts the plan from the stored blocks
+        # (one job; the convergence count below reads those blocks).
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("label") < F.col("old")).count()
+        labels = new.select("id", "label")
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(graph diameter exceeds the bound — raise max_rounds or use "
+        "an alternating-star formulation)"
+    )
 
 
 def resolve_duplicates(
