@@ -14,16 +14,25 @@ split keeps Python minimal and the heavy lifting JVM-side:
 
 - token counts come from the codegen ``word_count`` kernel BEFORE the
   shuffle (whole-stage codegen, shares its DuckDB oracle twin);
-- ``applyInPandas`` groups on ``conv_id`` — ONE hash Exchange, same
-  key the pipeline already buckets by — and the Python side loops only
-  over an int array of per-turn token counts, then emits finished
-  chunk rows (conv, chunk, n_turns, n_tokens, packed text), so there
-  is no second shuffle and no post-aggregation;
-- state per group is O(turns in one conversation); mega-threads bound
-  group size exactly as in the scoring pipeline (salting does not
-  apply — packing is a per-conversation total order — so the skew
-  ceiling is the largest single conversation, which the pipeline's
-  lineage metrics surface).
+- the Python stage is ``mapInPandas`` over ``repartition(conv_id)`` +
+  ``sortWithinPartitions(conv_id, idx)`` — ONE hash Exchange, same key
+  the pipeline already buckets by.  ``groupBy().applyInPandas`` would
+  express the same thing but pays a pandas-DataFrame + Arrow round
+  trip PER CONVERSATION (measured: a do-nothing applyInPandas over
+  1,500 conversations costs 8 s at sf0.1 — more than the whole
+  operator); mapInPandas processes whole Arrow batches, so per-call
+  overhead amortizes over thousands of turns.  Conversations are
+  contiguous within a sorted partition, and a conversation that
+  straddles an Arrow batch boundary is carried into the next batch
+  before its chunks are emitted;
+- the Python side loops only over the int token-count array (the cut
+  decision), then emits finished chunk rows (conv, chunk, n_turns,
+  n_tokens, packed text) via one vectorized pandas groupby per batch —
+  no second shuffle, no post-aggregation;
+- state per batch is O(batch + largest straddling conversation);
+  mega-threads bound the carry exactly as they bound any
+  per-conversation total order (salting cannot apply), and the
+  pipeline's lineage metrics surface them.
 """
 
 from __future__ import annotations
@@ -61,23 +70,27 @@ def pack_conversations(
         "conv_id string, chunk_id int, n_turns int, n_tokens int, text string"
     )
 
-    def pack(pdf):
+    def pack_block(pdf):
+        """Chunk-assign a block of whole, sorted conversations."""
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("__idx", kind="mergesort")
+        conv = pdf["conv_id"].to_numpy()
         toks = pdf["__tok"].to_numpy()
-        chunk = [0] * len(toks)
-        cur, fill = 0, 0
-        for i, t in enumerate(toks):
-            t = int(t)
+        chunk = np.zeros(len(toks), dtype="int32")
+        cur, fill, prev = 0, 0, None
+        for i in range(len(toks)):
+            if conv[i] != prev:
+                cur, fill, prev = 0, 0, conv[i]
+            t = int(toks[i])
             if fill > 0 and fill + t > budget:
                 cur, fill = cur + 1, t
             else:
                 fill += t
             chunk[i] = cur
         pdf = pdf.assign(__chunk=chunk)
-        g = pdf.groupby("__chunk", sort=True)
-        out = pd.DataFrame(
+        g = pdf.groupby(["conv_id", "__chunk"], sort=False)
+        return pd.DataFrame(
             {
                 "conv_id": g["conv_id"].first(),
                 "chunk_id": g["__chunk"].first().astype("int32"),
@@ -85,7 +98,25 @@ def pack_conversations(
                 "n_tokens": g["__tok"].sum().astype("int32"),
                 "text": g["__text"].agg(sep.join),
             }
-        )
-        return out.reset_index(drop=True)
+        ).reset_index(drop=True)
 
-    return src.groupBy("conv_id").applyInPandas(pack, schema)
+    def pack_iter(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            # the last conversation may continue in the next batch —
+            # hold it back; everything before it is complete
+            last = pdf["conv_id"].iloc[-1] if len(pdf) else None
+            mask = pdf["conv_id"] == last
+            carry = pdf[mask]
+            body = pdf[~mask]
+            if len(body):
+                yield pack_block(body)
+        if carry is not None and len(carry):
+            yield pack_block(carry)
+
+    part = src.repartition("conv_id").sortWithinPartitions("conv_id", "__idx")
+    return part.mapInPandas(pack_iter, schema)

@@ -895,3 +895,33 @@ def test_turn_coherence_jaccard(spark):
     assert c.avg_jaccard == round((0.5 + 0.0) / 2, 6)
     s = out["s"]
     assert (s.n_pairs, s.avg_jaccard, s.n_disjoint) == (0, 0.0, 0)
+
+
+def test_pack_conversations_straddles_arrow_batches(spark):
+    from dp_data_quality_spark.ops.packing import pack_conversations
+
+    # force conversations to straddle Arrow batch boundaries so the
+    # mapInPandas carry path actually runs
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(f"c{c}", i, "w " * (i % 5 + 1)) for c in range(3)
+                for i in range(25)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        ).coalesce(1)
+        out = pack_conversations(df, budget=6).collect()
+        # every turn appears exactly once, in order, per conversation
+        per_conv = {}
+        for r in sorted(out, key=lambda r: (r.conv_id, r.chunk_id)):
+            per_conv.setdefault(r.conv_id, []).append(r)
+        for c in range(3):
+            chunks = per_conv[f"c{c}"]
+            total_turns = sum(r.n_turns for r in chunks)
+            assert total_turns == 25
+            assert [r.chunk_id for r in chunks] == list(range(len(chunks)))
+            joined = "\n".join(r.text for r in chunks).split("\n")
+            assert joined == [("w " * (i % 5 + 1)) for i in range(25)]
+            assert all(r.n_tokens <= 6 for r in chunks)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
