@@ -97,3 +97,33 @@ def test_no_cartesian_anywhere():
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_conversation_ops_single_exchange(spark):
+    # the flag/lag window and the per-conversation aggregate both key on
+    # conv_id — the plan must share ONE hashpartitioning(conv_id)
+    # Exchange, not shuffle twice
+    import re
+
+    for name in ["conversation_structure", "turn_coherence"]:
+        plan = _plan(spark, name)
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+        conv_ex = [e for e in exchanges if "conv_id" in e]
+        assert len(conv_ex) == 1, (name, exchanges)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pack_conversations_single_exchange_one_python_stage(spark):
+    # one repartition(conv_id) Exchange feeding one mapInPandas stage;
+    # token counting stays JVM-side before the shuffle
+    import re
+
+    plan = _plan(spark, "pack_conversations")
+    # one exchange belongs to the test corpus derivation (row_number
+    # window over user_id); the OPERATOR must contribute exactly the
+    # one repartition on conv_id
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    conv_ex = [e for e in exchanges if "conv_id" in e]
+    assert len(conv_ex) == 1, exchanges
+    assert plan.count("MapInPandas") == 1, plan
+    assert "ArrowEvalPython" not in plan, plan  # no scalar Python UDFs
