@@ -1544,6 +1544,60 @@ FROM pairs GROUP BY conv_id
 """
 
 
+def q_conversation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level keep/drop rollup
+    (``ops.convstats.rollup_keep_by_conversation``, the pipeline's
+    opt-in ``conv_min_keep_frac``): turns of conversations whose
+    kept fraction < 0.6 are demoted wholesale with an appended reason —
+    a dialogue with holes can't be replayed for training.  Here the
+    per-turn keep is a SQL-expressible token-count rule so the rollup
+    arithmetic itself is oracle-gated; in the pipeline the same
+    operator runs on the langid+ppl+heuristic keep and rides the bucket
+    partitioning (see tests/test_pipeline.py plan asserts)."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import rollup_keep_by_conversation
+    from dp_data_quality_spark.ops.textstats import word_count
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_PACK_CORPUS_SQL)
+    turns = corpus.withColumn(
+        "keep", F.coalesce(word_count(F.col("text")), F.lit(0)) >= 5
+    ).withColumn("drop_reasons", F.array().cast("array<string>"))
+    rolled = rollup_keep_by_conversation(turns, 0.6)
+    return rolled.select(
+        "conv_id",
+        "turn_idx",
+        (F.coalesce(word_count(F.col("text")), F.lit(0)) >= 5)
+        .cast("int").alias("keep_in"),
+        F.col("keep").cast("int").alias("keep_out"),
+        F.array_contains("drop_reasons", "conv_low_keep_frac")
+        .cast("int").alias("demoted"),
+    )
+
+
+def _sql_conversation_rollup() -> str:
+    return f"""
+WITH corpus AS ({_PACK_CORPUS_SQL}),
+turns AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN COALESCE({TS.sql_word_count('text')}, 0) >= 5
+              THEN 1 ELSE 0 END AS keep_in
+  FROM corpus
+),
+frac AS (
+  SELECT conv_id, turn_idx, keep_in,
+         avg(CAST(keep_in AS DOUBLE)) OVER (PARTITION BY conv_id) AS f
+  FROM turns
+)
+SELECT conv_id, turn_idx, CAST(keep_in AS INT) AS keep_in,
+       CAST(CASE WHEN keep_in = 1 AND f >= 0.6 THEN 1 ELSE 0 END AS INT)
+         AS keep_out,
+       CAST(CASE WHEN keep_in = 1 AND f < 0.6 THEN 1 ELSE 0 END AS INT)
+         AS demoted
+FROM frac
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2203,6 +2257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_structure": q_conversation_structure,
         "pack_conversations": q_pack_conversations,
         "turn_coherence": q_turn_coherence,
+        "conversation_rollup": q_conversation_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2261,6 +2316,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_structure": SQL_CONVERSATION_STRUCTURE,
         "pack_conversations": _sql_pack_conversations(),
         "turn_coherence": _sql_turn_coherence(),
+        "conversation_rollup": _sql_conversation_rollup(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

@@ -75,6 +75,7 @@ BENCH_QUERIES_EXTRA = [
     "conversation_structure",
     "pack_conversations",
     "turn_coherence",
+    "conversation_rollup",
 ]
 
 

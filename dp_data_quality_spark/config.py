@@ -156,6 +156,14 @@ class FilterConfig:
         "all rights reserved",
         "lorem ipsum dolor",
     )
+    # Conversation-level rollup: if > 0, every turn of a conversation
+    # whose kept-turn fraction falls below this is demoted to keep=0
+    # with reason "conv_low_keep_frac" (a dialogue with holes can't be
+    # replayed for training).  0.0 = per-turn decisions only (default,
+    # the reference-parity behavior).  Costs NO extra shuffle in the
+    # pipeline: the rollup window rides the bucket partitioning
+    # (bucket is a pure function of conv_id).
+    conv_min_keep_frac: float = 0.0
     scrub_pii: bool = True
     toxicity_lexicon: tuple[str, ...] = (
         "frakking", "dagnabbit", "gorram", "smeghead",  # synthetic lexicon

@@ -200,6 +200,31 @@ def run_pipeline(
 
     scored = score_turns(df, spark, cfg)
 
+    if cfg.conv_min_keep_frac > 0:
+        # Conversation-level demotion costs exactly ONE extra shuffle,
+        # and the window itself adds none: the scalar-pandas-UDF scoring
+        # stage does not propagate its child's output partitioning
+        # (EvalPythonExec reports unknown — measured: any
+        # distribution-requiring op after a pandas UDF re-shuffles even
+        # on the identical key), so the bucket partitioning must be
+        # re-established here anyway.  The explicit repartition both
+        # restores the one-directory-per-task sink layout AND satisfies
+        # the rollup window's (bucket, conv_id) clustered distribution
+        # by the subset rule — bucket is a pure function of conv_id —
+        # so the window runs with an in-partition sort only
+        # (plan-asserted in tests).  scrubbed_text is re-nulled for
+        # demoted turns so the keep=0 lineage subtree stays
+        # payload-free.
+        from dp_data_quality_spark.ops.convstats import rollup_keep_by_conversation
+
+        scored = rollup_keep_by_conversation(
+            scored.repartition(n_buckets, "bucket"),
+            cfg.conv_min_keep_frac,
+            bucket_col="bucket",
+        ).withColumn(
+            "scrubbed_text", F.when(F.col("keep"), F.col("scrubbed_text"))
+        )
+
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # AQE partition coalescing can fold the 64-bucket shuffle into a
     # handful of post-shuffle partitions at small scale, serializing the

@@ -212,3 +212,68 @@ def test_transcripts_pipeline_pinned(spark):
     assert got == sorted(
         E.TRANSCRIPTS_PIPELINE_PINNED, key=lambda t: (t[0] is None, t[0] or "")
     )
+
+
+def test_conversation_rollup_demotes_whole_conversations(spark, transcripts, tmp_path):
+    cfg = FilterConfig(conv_min_keep_frac=0.6)
+    res = run_pipeline(spark, transcripts, str(tmp_path / "roll"),
+                       cfg=cfg, n_buckets=8, run_id="r")
+    scored = spark.read.parquet(str(tmp_path / "roll" / "scored"))
+
+    # per conversation, either every turn survived the rollup intact or
+    # the whole conversation was demoted; demoted kept-turns carry the
+    # rollup reason
+    frac = scored.groupBy("conv_id").agg(
+        F.avg(F.col("keep")).alias("kept_frac"),
+        F.sum(F.array_contains("drop_reasons", "conv_low_keep_frac")
+              .cast("int")).alias("n_rollup_reason"),
+    ).collect()
+    demoted = {r.conv_id for r in frac if r.n_rollup_reason > 0}
+    for r in frac:
+        if r.conv_id in demoted:
+            assert r.kept_frac == 0.0, r  # demotion is all-or-nothing
+        # conversations at/above the threshold never carry the reason
+    # cross-check against the default run: every demoted conversation
+    # had keep_frac < 0.6 there, every untouched one >= 0.6
+    base = run_pipeline(spark, transcripts, str(tmp_path / "base"),
+                        cfg=CFG, n_buckets=8, run_id="b")
+    base_frac = {
+        r.conv_id: r.f
+        for r in spark.read.parquet(str(tmp_path / "base" / "scored"))
+        .groupBy("conv_id").agg(F.avg(F.col("keep")).alias("f")).collect()
+    }
+    assert demoted, "fixture should contain at least one low-quality conversation"
+    for cid, f_ in base_frac.items():
+        assert (cid in demoted) == (0 < f_ < 0.6), (cid, f_)
+
+
+def test_conversation_rollup_window_rides_bucket_partitioning(spark, transcripts):
+    # subset rule: a window over (bucket, conv_id) on a DataFrame
+    # repartitioned by bucket alone must add NO Exchange (bucket is a
+    # pure function of conv_id)
+    from dp_data_quality_spark.ops.convstats import rollup_keep_by_conversation
+
+    df = (with_bucket(transcripts, 8)
+          .withColumn("keep", F.length("text") > 5)
+          .withColumn("drop_reasons", F.array().cast("array<string>"))
+          .repartition(8, "bucket"))
+    rolled = rollup_keep_by_conversation(df, 0.6, bucket_col="bucket")
+    plan = rolled._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan  # only the repartition itself
+
+
+def test_conversation_rollup_costs_exactly_one_extra_exchange(spark, transcripts):
+    # through the full scoring stage: the scalar-pandas-UDF projection
+    # does not propagate partitioning, so the rollup re-establishes the
+    # bucket partitioning once — and the window adds nothing on top
+    from dp_data_quality_spark.ops.convstats import rollup_keep_by_conversation
+
+    def plan_for(rollup: bool):
+        df = with_bucket(transcripts, 8).repartition(8, "bucket")
+        scored = score_turns(df, spark, CFG)
+        if rollup:
+            scored = rollup_keep_by_conversation(
+                scored.repartition(8, "bucket"), 0.6, bucket_col="bucket")
+        return scored._jdf.queryExecution().executedPlan().toString()
+
+    assert plan_for(True).count("Exchange") == plan_for(False).count("Exchange") + 1
