@@ -1598,6 +1598,53 @@ FROM frac
 """
 
 
+# Pack corpus + planted duplicate conversations: every 5th conversation
+# re-ingested under a new id with identical turns (the SFT double-
+# ingest failure mode conversation-level dedup exists to catch).
+_DUPCONV_CORPUS_SQL = f"""
+WITH base AS ({_PACK_CORPUS_SQL})
+SELECT conv_id, turn_idx, text FROM base
+UNION ALL
+SELECT 'dup_' || conv_id AS conv_id, turn_idx, text
+FROM base WHERE CAST(conv_id AS BIGINT) % 5 = 0
+"""
+
+
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conversation-level dedup
+    (``ops.convstats.dedup_conversations``): identical ordered turn
+    sequences collapse to one canonical conversation (smallest id).
+    Turn text is hashed map-side, the conv Exchange carries 32-char
+    digests, the fingerprint is a hash chain over the idx-ordered
+    digests, and the group window moves one tiny row per
+    conversation."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import dedup_conversations
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_DUPCONV_CORPUS_SQL)
+    return dedup_conversations(corpus)
+
+
+def _sql_dedup_conversations() -> str:
+    return f"""
+WITH corpus AS ({_DUPCONV_CORPUS_SQL}),
+pt AS (
+  SELECT conv_id, turn_idx, COALESCE(md5(text), '<null>') AS h FROM corpus
+),
+fp AS (
+  SELECT conv_id, md5(string_agg(h, '' ORDER BY turn_idx)) AS fingerprint
+  FROM pt GROUP BY conv_id
+)
+SELECT conv_id, fingerprint,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS INT) AS group_size,
+       min(conv_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+       CAST(CASE WHEN conv_id = min(conv_id) OVER (PARTITION BY fingerprint)
+                 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM fp
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2258,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_conversations": q_pack_conversations,
         "turn_coherence": q_turn_coherence,
         "conversation_rollup": q_conversation_rollup,
+        "dedup_conversations": q_dedup_conversations,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2317,6 +2365,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_conversations": _sql_pack_conversations(),
         "turn_coherence": _sql_turn_coherence(),
         "conversation_rollup": _sql_conversation_rollup(),
+        "dedup_conversations": _sql_dedup_conversations(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

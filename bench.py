@@ -76,6 +76,7 @@ BENCH_QUERIES_EXTRA = [
     "pack_conversations",
     "turn_coherence",
     "conversation_rollup",
+    "dedup_conversations",
 ]
 
 

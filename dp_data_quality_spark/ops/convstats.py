@@ -206,3 +206,55 @@ def rollup_keep_by_conversation(
     return out.withColumn(
         keep_col, F.col(keep_col) & (frac >= F.lit(min_keep_frac))
     )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact conversation-level dedup: two conversations are duplicates
+    iff their ordered turn texts are identical (the SFT ingest failure
+    mode — the same dialogue arriving twice under different ids, which
+    doc-level dedup can't see because each TURN also exists in the
+    other copy).
+
+    Returns one row per conversation: ``(conv_id, fingerprint,
+    group_size, canonical_id, is_canonical)`` — keep
+    ``is_canonical = 1`` rows' conversations; the rest is drop lineage.
+    The canonical survivor is the smallest conv_id (string order),
+    deterministic and engine-reproducible.
+
+    Scale: turn text is hashed MAP-SIDE (md5 before the shuffle), so
+    the conv_id Exchange carries 32-char digests, never text; the
+    fingerprint is the md5 of the idx-ordered digest concatenation
+    (a hash chain).  The second Exchange partitions one tiny row per
+    conversation by fingerprint for the group window.  NULL text hashes
+    to a sentinel so (NULL, '') sequences can't collide.
+    """
+    per_turn = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")).alias("h"),
+    )
+    fp = per_turn.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "h"))),
+                    lambda s: s["h"],
+                ),
+            )
+        ).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    canonical = F.min("conv_id").over(w)
+    return fp.select(
+        "conv_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(w).cast("int").alias("group_size"),
+        canonical.alias("canonical_id"),
+        (F.col("conv_id") == canonical).cast("int").alias("is_canonical"),
+    )

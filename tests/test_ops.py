@@ -925,3 +925,25 @@ def test_pack_conversations_straddles_arrow_batches(spark):
             assert all(r.n_tokens <= 6 for r in chunks)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_dedup_conversations_fingerprint(spark):
+    from dp_data_quality_spark.ops.convstats import dedup_conversations
+
+    rows = [
+        ("a", 0, "hello"), ("a", 1, "world"),
+        ("b", 0, "hello"), ("b", 1, "world"),      # exact dup of a
+        ("c", 0, "hello"), ("c", 1, "world!"),     # differs in turn 1
+        ("d", 0, "helloworld"),                    # same chars, 1 turn
+        ("e", 0, None), ("e", 1, ""),              # null vs empty
+        ("f", 0, ""), ("f", 1, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in dedup_conversations(df).collect()}
+    assert out["a"].fingerprint == out["b"].fingerprint
+    assert out["a"].is_canonical == 1 and out["b"].is_canonical == 0
+    assert out["b"].canonical_id == "a" and out["b"].group_size == 2
+    # near-miss sequences all distinct
+    fps = {out[k].fingerprint for k in "acdef"}
+    assert len(fps) == 5
+    assert all(out[k].is_canonical == 1 for k in "cdef")
