@@ -18,12 +18,15 @@ components are near-cliques — every member pairs with most others
 because near-dup similarity is close to transitive — so the loop exits
 after 2-4 rounds in practice; convergence is detected with a
 changed-label count that rides the same aggregate (no extra join).
-Labels are persisted per round and the previous round unpersisted, so
-lineage never re-executes earlier rounds.  For adversarial
-long-chain graphs the alternating large-star/small-star scheme
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) converges in O(log d) rounds; ``max_rounds`` bounds the loop
-and the function raises rather than silently returning partial labels.
+Labels are checkpointed per round, so lineage never re-executes
+earlier rounds.  From round 1 a pointer-jumping hop (each node adopts
+its label's label — the Hash-to-Min idea; cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) runs
+alongside the neighbour propagation, so adversarial long-chain graphs
+converge in O(log d) rounds instead of O(d) — a 150-link chain closes
+within the default bound (pytest).  ``max_rounds`` still bounds the
+loop and the function raises rather than silently returning partial
+labels.
 
 ``resolve_duplicates`` then labels EVERY corpus row: docs absent from
 the pair graph are their own singleton component (no join explosion —
@@ -81,20 +84,33 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # labels of each node's neighbours, shipped along the edges
         neigh = edges.join(
             labels, edges["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "label")
         # own row carries the previous label in "old" so the changed
-        # count needs no self-join; min ignores the neighbours' nulls
+        # count needs no self-join; min ignores the others' nulls
+        null_old = F.lit(None).cast(labels.schema["label"].dataType)
         both = labels.select(
             "id", "label", F.col("label").alias("old")
-        ).unionByName(
-            neigh.withColumn(
-                "old", F.lit(None).cast(neigh.schema["label"].dataType)
+        ).unionByName(neigh.withColumn("old", null_old))
+        # pointer jumping from round 1 on: each node also adopts its
+        # LABEL's label (labels are always node ids, so the self-join
+        # resolves; in round 0 labels are the identity and the hop is a
+        # no-op, so it is skipped).  Neighbour propagation alone needs
+        # diameter-many rounds — a chain of n near-dups converges in
+        # O(n); with the label-of-label hop the frontier doubles per
+        # round, so convergence is O(log d) (Hash-to-Min family) and
+        # max_rounds=25 covers any graph a corpus can produce.  The
+        # hop join moves only (id, label) pairs.
+        if rnd > 0:
+            hop = (
+                labels.alias("a")
+                .join(labels.alias("b"), F.col("a.label") == F.col("b.id"), "inner")
+                .select(F.col("a.id").alias("id"), F.col("b.label").alias("label"))
             )
-        )
+            both = both.unionByName(hop.withColumn("old", null_old))
         new = both.groupBy("id").agg(
             F.min("label").alias("label"), F.min("old").alias("old")
         )

@@ -947,3 +947,16 @@ def test_dedup_conversations_fingerprint(spark):
     fps = {out[k].fingerprint for k in "acdef"}
     assert len(fps) == 5
     assert all(out[k].is_canonical == 1 for k in "cdef")
+
+
+def test_connected_components_logarithmic_on_chains(spark):
+    # a 150-link chain has diameter 150: neighbour propagation alone
+    # would blow the 25-round bound; pointer jumping must converge it
+    from dp_data_quality_spark.ops.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 151
+    assert all(r.component_id == 0 for r in out)
