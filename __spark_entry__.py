@@ -1645,6 +1645,92 @@ FROM fp
 """
 
 
+# Transcripts with planted contract violations for the quality report:
+# NULL texts (idx%41), PII emails (idx%29), over-length role strings
+# (idx%67), and idx%73 turns collapsed to one constant content row per
+# conversation (rule-17 duplicates under the (conv_id, turn_idx) key).
+_AUG_TRANSCRIPTS_SQL = f"""
+WITH t AS ({_CONV_CORPUS_SQL})
+SELECT conv_id,
+       turn_idx,
+       CASE WHEN turn_idx % 73 = 11 THEN 'user'
+            WHEN turn_idx % 67 = 9 THEN 'assistant_override'
+            ELSE role END AS role,
+       CASE WHEN turn_idx % 73 = 11 THEN 'duplicated payload turn'
+            WHEN turn_idx % 41 = 6 THEN NULL
+            WHEN turn_idx % 29 = 3 THEN text || ' reach me at bob@example.com'
+            ELSE text END AS text,
+       CASE WHEN turn_idx % 73 = 11 THEN NULL ELSE tool END AS tool,
+       CASE WHEN turn_idx % 73 = 11 THEN TIMESTAMP '2024-06-01 12:00:00'
+            ELSE ts END AS ts
+FROM t
+"""
+
+_TRANSCRIPTS_CONFIG = RulesConfig(columns=[
+    ColumnSpec("conv_id", data_type="varchar"),
+    ColumnSpec("turn_idx", data_type="integer"),
+    ColumnSpec("role", data_type="varchar", length_total=9),
+    ColumnSpec("text", data_type="string", length_total=40),
+    ColumnSpec("tool", data_type="string"),
+    ColumnSpec("missing_col", data_type="string"),  # rule 2
+    # 'ts' present in data but not in config → rule 1
+])
+
+
+def q_quality_report_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end-to-end quality report applied to the
+    north-rule INPUT TABLE — a transcripts-shaped corpus with planted
+    nulls, PII, over-length roles and duplicate turns — proving the
+    validation contract and the transcript pipeline share one engine.
+    Aggregated to (COLUMN_NAME, VALIDATION_ID, n_fails) like
+    ``quality_report_documents``."""
+    _prep(spark)
+    from dp_data_quality_spark.plans.report import build_quality_report
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    aug = spark.sql(_AUG_TRANSCRIPTS_SQL)
+    report = build_quality_report(
+        aug, _TRANSCRIPTS_CONFIG, table_name="transcripts",
+        key_cols=["conv_id", "turn_idx"],
+    )
+    return (
+        report.groupBy("COLUMN_NAME", "VALIDATION_ID")
+        .agg(F.count("*").alias("n_fails"))
+    )
+
+
+def _sql_quality_report_transcripts() -> str:
+    checks = []
+    for col in ["CONV_ID", "TURN_IDX", "ROLE", "TEXT", "TOOL", "TS"]:
+        src = col.lower()
+        c = f"CAST({src} AS VARCHAR)"
+        checks.append((col, 3, f"{src} IS NULL"))
+        checks.append((col, 16, _sql_pii_fail(c)))
+    checks.append(("TURN_IDX", 5, _sql_integral_fail(
+        "CAST(turn_idx AS VARCHAR)", -2147483648, 2147483647)))
+    checks.append(("ROLE", 11, _sql_len_fail("CAST(role AS VARCHAR)", 9)))
+    checks.append(("TEXT", 10, _sql_len_fail("CAST(text AS VARCHAR)", 40)))
+    unions = [
+        f"SELECT {col!r} AS COLUMN_NAME, {rid} AS VALIDATION_ID, count(*) AS n_fails "
+        f"FROM aug WHERE {expr} HAVING count(*) > 0"
+        for col, rid, expr in checks
+    ]
+    dup = (
+        "SELECT NULL AS COLUMN_NAME, 17 AS VALIDATION_ID, count(*) AS n_fails FROM ("
+        "  SELECT row_number() OVER (PARTITION BY role, text, tool, ts"
+        "         ORDER BY conv_id, turn_idx) AS rn FROM aug"
+        ") WHERE rn > 1 HAVING count(*) > 0"
+    )
+    schema_rows = (
+        "SELECT 'TS' AS COLUMN_NAME, 1 AS VALIDATION_ID, 1 AS n_fails "
+        "UNION ALL SELECT 'MISSING_COL', 2, 1"
+    )
+    return (
+        f"WITH aug AS ({_AUG_TRANSCRIPTS_SQL})\n"
+        + "\nUNION ALL\n".join([schema_rows] + unions + [dup])
+    )
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2306,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_coherence": q_turn_coherence,
         "conversation_rollup": q_conversation_rollup,
         "dedup_conversations": q_dedup_conversations,
+        "quality_report_transcripts": q_quality_report_transcripts,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2366,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_coherence": _sql_turn_coherence(),
         "conversation_rollup": _sql_conversation_rollup(),
         "dedup_conversations": _sql_dedup_conversations(),
+        "quality_report_transcripts": _sql_quality_report_transcripts(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

@@ -77,6 +77,7 @@ BENCH_QUERIES_EXTRA = [
     "turn_coherence",
     "conversation_rollup",
     "dedup_conversations",
+    "quality_report_transcripts",
 ]
 
 
