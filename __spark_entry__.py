@@ -1731,6 +1731,81 @@ def _sql_quality_report_transcripts() -> str:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary curve (``ops.textstats.vocab_coverage``):
+    top-30 corpus words with integer-exact cumulative coverage — the
+    "how big must the vocab be" curve.  Explode + groupBy + top-k via
+    TakeOrderedAndProject; only 30 rows cross the ranking window."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.textstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), k=30)
+
+
+def _sql_vocab_coverage() -> str:
+    return f"""
+WITH w AS (SELECT unnest({TS.sql_words('text')}) AS word FROM documents),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+total AS (SELECT count(*) AS total FROM w),
+top AS (SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 30)
+SELECT CAST(row_number() OVER o AS INT) AS rank, word, n,
+       sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_n,
+       sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         / CAST(total AS DOUBLE) AS coverage
+FROM top, total
+WINDOW o AS (ORDER BY n DESC, word ASC)
+"""
+
+
+def _mojibake_corpus_sql() -> str:
+    """Every 3rd document gains a suffix damaged by the UTF-8-read-as-
+    cp1252 model (the broken literals are generated from
+    ``MOJIBAKE_PAIRS``, never pasted — they contain C1 control bytes)."""
+    from dp_data_quality_spark.ops.textstats import MOJIBAKE_PAIRS
+
+    broken = {f: b for b, f in MOJIBAKE_PAIRS}
+    suffix = (" caf" + broken["é"] + " " + broken["—"] + " done"
+              + broken["…"])
+    return (
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN text || '"
+        + suffix.replace("'", "''")
+        + "' ELSE text END AS text FROM documents"
+    )
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (``ops.textstats.fix_mojibake``, the ftfy-style
+    high-frequency subset): UTF-8-decoded-as-Windows-1252 sequences are
+    rewritten by a chain of literal replaces — pure codegen string ops,
+    both engines share the pair table derived from the damage model
+    itself."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.textstats import fix_mojibake
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_mojibake_corpus_sql())
+    t = F.col("text")
+    fixed = fix_mojibake(t)
+    return corpus.select(
+        "doc_id",
+        fixed.alias("fixed_text"),
+        (fixed != t).cast("int").alias("was_broken"),
+    )
+
+
+def _sql_fix_mojibake_query() -> str:
+    from dp_data_quality_spark.ops.textstats import sql_fix_mojibake
+
+    fx = sql_fix_mojibake("text")
+    return f"""
+WITH corpus AS ({_mojibake_corpus_sql()})
+SELECT doc_id, {fx} AS fixed_text,
+       CAST({fx} <> text AS INT) AS was_broken
+FROM corpus
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2393,6 +2468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_rollup": q_conversation_rollup,
         "dedup_conversations": q_dedup_conversations,
         "quality_report_transcripts": q_quality_report_transcripts,
+        "vocab_coverage": q_vocab_coverage,
+        "fix_mojibake": q_fix_mojibake,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2454,6 +2531,8 @@ def oracle_sql() -> dict[str, str]:
         "conversation_rollup": _sql_conversation_rollup(),
         "dedup_conversations": _sql_dedup_conversations(),
         "quality_report_transcripts": _sql_quality_report_transcripts(),
+        "vocab_coverage": _sql_vocab_coverage(),
+        "fix_mojibake": _sql_fix_mojibake_query(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

@@ -78,6 +78,8 @@ BENCH_QUERIES_EXTRA = [
     "conversation_rollup",
     "dedup_conversations",
     "quality_report_transcripts",
+    "vocab_coverage",
+    "fix_mojibake",
 ]
 
 

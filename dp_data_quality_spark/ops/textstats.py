@@ -467,3 +467,89 @@ def sql_fingerprint(c: str) -> str:
 
 def sql_fingerprint_hex(c: str) -> str:
     return f"md5({SQL_NORMALIZE.format(c=c)})"
+
+
+def vocab_coverage(df, text_col: str = "text", k: int = 50):
+    """Corpus vocabulary table for tokenizer training prep: the top-k
+    words by frequency with cumulative corpus coverage — "how much of
+    the token stream do the first k vocabulary entries explain", the
+    curve that sizes a BPE/WordPiece vocab before committing to it.
+
+    Returns ``(rank, word, n, cum_n, coverage)``; coverage is the
+    integer-exact cumulative count divided by the integer-exact corpus
+    total (one division of exact longs — bit-identical across engines,
+    no rounding needed).
+
+    Scale: word counts are one explode + one groupBy (map-side
+    combine); the global top-k is orderBy+limit (TakeOrderedAndProject
+    — no global sort materialization); only the k surviving rows pass
+    through the single-partition ranking window, and the corpus total
+    joins as a lazy broadcast 1-row crossJoin.
+    """
+    from pyspark.sql.window import Window
+
+    w = df.select(F.explode(words(F.col(text_col))).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("n"))
+    total = w.select(F.count("*").alias("total"))
+    order = [F.desc("n"), F.asc("word")]
+    top = counts.orderBy(*order).limit(k)
+    rank_w = Window.orderBy(*order)
+    cum_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .withColumn("cum_n", F.sum("n").over(cum_w))
+        .withColumn("coverage", F.col("cum_n") / F.col("total"))
+        .select("rank", "word", "n", "cum_n", "coverage")
+    )
+
+
+# Mojibake damage model: text that was UTF-8 encoded but decoded as
+# Windows-1252 (with the latin-1 fallback for the five cp1252-undefined
+# bytes — exactly what lenient decoders do).  The broken forms are
+# DERIVED from that model instead of pasted as literals, because
+# several contain C1 control bytes that don't survive copy-paste; the
+# repaired characters are written as escapes for the same reason.
+# 3-byte punctuation forms precede 2-byte accents so a chain of literal
+# replaces can't half-rewrite them.
+
+
+def _as_mojibake(ch: str) -> str:
+    out = []
+    for b in ch.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(bytes([b]).decode("latin-1"))
+    return "".join(out)
+
+
+_MOJIBAKE_CHARS = (
+    "\u2019\u201c\u201d\u2013\u2014\u2026"  # quotes, dashes, ellipsis
+    "\u00e9\u00e8\u00e4\u00f6\u00fc\u00f1\u00e7"  # accented letters
+    "\u00a0"  # non-breaking space (repaired to a plain space)
+)
+
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    (_as_mojibake(ch), " " if ch == "\u00a0" else ch)
+    for ch in _MOJIBAKE_CHARS
+)
+
+
+def fix_mojibake(c: Column) -> Column:
+    """Repair the common UTF-8-decoded-as-Windows-1252 sequences with a
+    chain of LITERAL replaces — pure codegen string ops, no regex
+    backtracking, no Python."""
+    out = c
+    for broken, fixed in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def sql_fix_mojibake(c: str) -> str:
+    out = c
+    for broken, fixed in MOJIBAKE_PAIRS:
+        b = broken.replace("'", "''")
+        f_ = fixed.replace("'", "''")
+        out = f"replace({out}, '{b}', '{f_}')"
+    return out

@@ -960,3 +960,39 @@ def test_connected_components_logarithmic_on_chains(spark):
     out = connected_components(pairs).collect()
     assert len(out) == 151
     assert all(r.component_id == 0 for r in out)
+
+
+def test_vocab_coverage_exact(spark):
+    from dp_data_quality_spark.ops.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b x")],
+        "doc_id long, text string",
+    )
+    rows = {r.rank: r for r in vocab_coverage(docs, k=3).collect()}
+    # a:4 b:3 c:1 x:1 over 9 tokens; tie c/x broken alphabetically
+    assert (rows[1].word, rows[1].n, rows[1].cum_n) == ("a", 4, 4)
+    assert (rows[2].word, rows[2].n, rows[2].cum_n) == ("b", 3, 7)
+    assert (rows[3].word, rows[3].n) == ("c", 1)
+    assert rows[2].coverage == 7 / 9
+
+
+def test_fix_mojibake_roundtrip(spark):
+    from dp_data_quality_spark.ops.textstats import (
+        MOJIBAKE_PAIRS, _as_mojibake, fix_mojibake,
+    )
+    from pyspark.sql import functions as F
+
+    clean = "café — “quoted” … naïve’s ün"
+    # ï is deliberately NOT in the fix table; everything else is
+    broken = _as_mojibake(clean)
+    df = spark.createDataFrame([(broken,), ("plain ascii",)], "text string")
+    out = [r.f for r in df.select(fix_mojibake(F.col("text")).alias("f")).collect()]
+    assert out[1] == "plain ascii"
+    # all table-covered sequences repaired; the ï damage remains
+    assert "café" in out[0] and "—" in out[0] and "“quoted”" in out[0]
+    assert "’s" in out[0] and "ün" in out[0]
+    assert "naïve" not in out[0]
+    # the damage model really produced multi-char mojibake
+    assert len(broken) > len(clean)
+    assert all(len(b) >= 2 for b, _ in MOJIBAKE_PAIRS)
