@@ -1806,6 +1806,63 @@ FROM corpus
 """
 
 
+# Pack corpus with planted stuck-agent loops: conv%4==1 repeats one
+# payload across turns 5-7 (a 3-run → loop), conv%4==2 double-sends at
+# turns 12-13 (a 2-run → repeated but not a loop).
+_LOOP_CORPUS_SQL = f"""
+WITH base AS ({_PACK_CORPUS_SQL})
+SELECT conv_id, turn_idx,
+       CASE WHEN CAST(conv_id AS BIGINT) % 4 = 1
+                 AND turn_idx BETWEEN 5 AND 7 THEN 'retry payload'
+            WHEN CAST(conv_id AS BIGINT) % 4 = 2
+                 AND turn_idx IN (12, 13) THEN 'double send'
+            ELSE text END AS text
+FROM base
+"""
+
+
+def q_detect_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection (``ops.convstats.detect_turn_loops``):
+    run-length encoding of consecutive identical turns per conversation
+    — retry loops and double-sends that per-turn rules can't see.  Text
+    is md5-hashed map-side; the windows compare 32-char digests."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import detect_turn_loops
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_LOOP_CORPUS_SQL)
+    return detect_turn_loops(corpus)
+
+
+def _sql_detect_turn_loops() -> str:
+    return f"""
+WITH corpus AS ({_LOOP_CORPUS_SQL}),
+hs AS (
+  SELECT conv_id, turn_idx, COALESCE(md5(text), '<null>') AS h FROM corpus
+),
+flg AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN h IS DISTINCT FROM
+                   lag(h) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 1 ELSE 0 END AS nr
+  FROM hs
+),
+runs AS (
+  SELECT conv_id,
+         sum(nr) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM flg
+),
+rl AS (SELECT conv_id, run_id, count(*) AS run_len FROM runs GROUP BY 1, 2)
+SELECT conv_id,
+       CAST(max(run_len) AS INT) AS longest_run,
+       CAST(sum(run_len - 1) AS INT) AS n_repeated_turns,
+       CAST(CASE WHEN max(run_len) >= 3 THEN 1 ELSE 0 END AS INT) AS has_loop
+FROM rl GROUP BY conv_id
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2470,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_report_transcripts": q_quality_report_transcripts,
         "vocab_coverage": q_vocab_coverage,
         "fix_mojibake": q_fix_mojibake,
+        "detect_turn_loops": q_detect_turn_loops,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2533,6 +2591,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_report_transcripts": _sql_quality_report_transcripts(),
         "vocab_coverage": _sql_vocab_coverage(),
         "fix_mojibake": _sql_fix_mojibake_query(),
+        "detect_turn_loops": _sql_detect_turn_loops(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

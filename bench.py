@@ -80,6 +80,7 @@ BENCH_QUERIES_EXTRA = [
     "quality_report_transcripts",
     "vocab_coverage",
     "fix_mojibake",
+    "detect_turn_loops",
 ]
 
 

@@ -258,3 +258,49 @@ def dedup_conversations(
         canonical.alias("canonical_id"),
         (F.col("conv_id") == canonical).cast("int").alias("is_canonical"),
     )
+
+
+def detect_turn_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    loop_min_run: int = 3,
+) -> DataFrame:
+    """Detect stuck-agent loops: runs of consecutive turns with
+    IDENTICAL text inside a conversation (an agent retrying the same
+    reply, a client double-sending — the transcript analogue of the
+    repetition heuristic, invisible to per-turn rules because each turn
+    is individually clean).
+
+    Per conversation: ``longest_run`` (max consecutive identical
+    turns), ``n_repeated_turns`` (turns that duplicate their
+    predecessor), ``has_loop`` (1 iff longest_run ≥ ``loop_min_run``).
+
+    Scale: classic run-length encoding as two stacked aggregations on
+    the same conv key — a boundary flag (null-safe lag comparison), a
+    running sum to number runs, a (conv, run) count, then a conv-level
+    max/sum.  Text never shuffles: turns are md5-hashed map-side and
+    the windows compare 32-char digests.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    hashed = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")).alias("h"),
+    )
+    new_run = (
+        ~F.col("h").eqNullSafe(F.lag("h").over(w))
+    ).cast("int")
+    runs = hashed.withColumn(
+        "run_id", F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    run_lens = runs.groupBy("conv_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return run_lens.groupBy("conv_id").agg(
+        F.max("run_len").cast("int").alias("longest_run"),
+        F.sum(F.col("run_len") - 1).cast("int").alias("n_repeated_turns"),
+        (F.max("run_len") >= loop_min_run).cast("int").alias("has_loop"),
+    )

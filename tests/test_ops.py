@@ -996,3 +996,20 @@ def test_fix_mojibake_roundtrip(spark):
     # the damage model really produced multi-char mojibake
     assert len(broken) > len(clean)
     assert all(len(b) >= 2 for b, _ in MOJIBAKE_PAIRS)
+
+
+def test_detect_turn_loops_runs(spark):
+    from dp_data_quality_spark.ops.convstats import detect_turn_loops
+
+    rows = [
+        ("a", 0, "x"), ("a", 1, "x"), ("a", 2, "x"), ("a", 3, "y"),
+        ("a", 4, "x"),                      # same text, NOT consecutive
+        ("b", 0, "p"), ("b", 1, "p"), ("b", 2, "q"),
+        ("c", 0, "u"), ("c", 1, None), ("c", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in detect_turn_loops(df).collect()}
+    assert (out["a"].longest_run, out["a"].n_repeated_turns, out["a"].has_loop) == (3, 2, 1)
+    assert (out["b"].longest_run, out["b"].has_loop) == (2, 0)
+    # consecutive NULLs count as a run of identical turns
+    assert (out["c"].longest_run, out["c"].n_repeated_turns) == (2, 1)
