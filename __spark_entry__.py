@@ -1863,6 +1863,55 @@ FROM rl GROUP BY conv_id
 """
 
 
+# Conversations assembled from documents (doc_id % 40 → 40 convs): the
+# documents table is multilingual, so language-mixed conversations
+# arise naturally.
+_LANGMIX_CORPUS_SQL = """
+SELECT CAST(doc_id % 40 AS STRING) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 40
+            ORDER BY doc_id) - 1 AS INT) AS turn_idx,
+       text
+FROM documents
+"""
+
+
+def q_conversation_langmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level language consistency
+    (``ops.convstats.conversation_lang_consistency``): majority
+    language + share per conversation, mixed-language flag — the
+    conversation companion of the pipeline's per-turn lang_mismatch
+    rule.  Codegen language kernel; text never shuffles."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import conversation_lang_consistency
+
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_LANGMIX_CORPUS_SQL)
+    return conversation_lang_consistency(corpus)
+
+
+def _sql_conversation_langmix() -> str:
+    lg = TS.sql_lang_guess("text")
+    return f"""
+WITH corpus AS ({_LANGMIX_CORPUS_SQL}),
+per AS (SELECT conv_id, {lg} AS lang FROM corpus),
+counts AS (SELECT conv_id, lang, count(*) AS n FROM per GROUP BY 1, 2),
+enriched AS (
+  SELECT conv_id, lang, n,
+         CAST(sum(n) OVER w AS BIGINT) AS n_turns,
+         CAST(count(*) OVER w AS INT) AS n_langs,
+         sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END) OVER w AS n_real_langs,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY n DESC, lang ASC) AS rn
+  FROM counts
+  WINDOW w AS (PARTITION BY conv_id)
+)
+SELECT conv_id, n_turns, n_langs, lang AS majority_lang,
+       CAST(n AS DOUBLE) / n_turns AS majority_frac,
+       CAST(CASE WHEN n_real_langs > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
+FROM enriched WHERE rn = 1
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2528,6 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "fix_mojibake": q_fix_mojibake,
         "detect_turn_loops": q_detect_turn_loops,
+        "conversation_langmix": q_conversation_langmix,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2592,6 +2642,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": _sql_vocab_coverage(),
         "fix_mojibake": _sql_fix_mojibake_query(),
         "detect_turn_loops": _sql_detect_turn_loops(),
+        "conversation_langmix": _sql_conversation_langmix(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

@@ -81,6 +81,7 @@ BENCH_QUERIES_EXTRA = [
     "vocab_coverage",
     "fix_mojibake",
     "detect_turn_loops",
+    "conversation_langmix",
 ]
 
 

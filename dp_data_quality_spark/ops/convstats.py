@@ -304,3 +304,55 @@ def detect_turn_loops(
         F.sum(F.col("run_len") - 1).cast("int").alias("n_repeated_turns"),
         (F.max("run_len") >= loop_min_run).cast("int").alias("has_loop"),
     )
+
+
+def conversation_lang_consistency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language consistency per conversation: per-turn language guesses
+    (the stopword-profile kernel) aggregated to the conversation's
+    majority language and its share.  A conversation that flips
+    language mid-dialogue is usually two interleaved sessions or a
+    crawl artifact — a drop/route signal invisible per turn, and the
+    conversation-level companion to the pipeline's per-turn
+    ``lang_mismatch`` rule.
+
+    Returns ``(conv_id, n_turns, n_langs, majority_lang,
+    majority_frac, is_mixed)``; ``is_mixed`` is 1 when more than one
+    non-'und' language appears.  ``majority_frac`` is an exact
+    integer ratio (bit-identical across engines); majority ties break
+    alphabetically.
+
+    Scale: one groupBy on (conv, lang) — at most a handful of rows per
+    conversation — then conv-keyed windows over those tiny rows; the
+    language kernel itself is codegen string arithmetic, so text never
+    shuffles and never reaches Python.
+    """
+    from .textstats import lang_guess
+
+    per = df.select(
+        F.col(conv_col).alias("conv_id"),
+        lang_guess(F.col(text_col)).alias("lang"),
+    )
+    counts = per.groupBy("conv_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("conv_id")
+    rn = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(F.desc("n"), F.asc("lang"))
+    )
+    enriched = counts.select(
+        "conv_id", "lang", "n",
+        F.sum("n").over(w).alias("n_turns"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_langs"),
+        F.sum((F.col("lang") != "und").cast("int")).over(w).alias("n_real_langs"),
+        rn.alias("rn"),
+    )
+    return enriched.filter(F.col("rn") == 1).select(
+        "conv_id",
+        "n_turns",
+        "n_langs",
+        F.col("lang").alias("majority_lang"),
+        (F.col("n") / F.col("n_turns")).alias("majority_frac"),
+        (F.col("n_real_langs") > 1).cast("int").alias("is_mixed"),
+    )

@@ -1013,3 +1013,25 @@ def test_detect_turn_loops_runs(spark):
     assert (out["b"].longest_run, out["b"].has_loop) == (2, 0)
     # consecutive NULLs count as a run of identical turns
     assert (out["c"].longest_run, out["c"].n_repeated_turns) == (2, 1)
+
+
+def test_conversation_lang_consistency(spark):
+    from dp_data_quality_spark.ops.convstats import conversation_lang_consistency
+
+    rows = [
+        ("m", 0, "the cat and the dog"),        # en
+        ("m", 1, "le chat et la maison des"),   # fr
+        ("m", 2, "a table of the data for it"), # en
+        ("p", 0, "the thing is that it"),
+        ("p", 1, "it is for the best"),
+        ("u", 0, "zzz qqq"),                    # und only
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {r.conv_id: r for r in conversation_lang_consistency(df).collect()}
+    m = out["m"]
+    assert (m.majority_lang, m.is_mixed, m.n_langs) == ("en", 1, 2)
+    assert m.majority_frac == 2 / 3
+    p = out["p"]
+    assert (p.majority_lang, p.is_mixed, p.majority_frac) == ("en", 0, 1.0)
+    u = out["u"]
+    assert (u.majority_lang, u.is_mixed) == ("und", 0)
