@@ -1912,6 +1912,81 @@ FROM enriched WHERE rn = 1
 """
 
 
+# Pack corpus + near-duplicate conversations: every 6th conversation is
+# re-ingested under a new id with its opening turn rewritten — exact
+# conversation dedup misses it (hash chain differs), near-dup catches
+# it (turn-digest Jaccard ≈ (n-1)/(n+1)).
+_NEARDUP_CONV_CORPUS_SQL = f"""
+WITH base AS ({_PACK_CORPUS_SQL})
+SELECT conv_id, turn_idx, text FROM base
+UNION ALL
+SELECT 'near_' || conv_id AS conv_id, turn_idx,
+       CASE WHEN turn_idx = 0 THEN 'rewritten opener' ELSE text END AS text
+FROM base WHERE CAST(conv_id AS BIGINT) % 6 = 0
+"""
+
+
+def q_neardup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate conversation pairs
+    (``ops.convstats.neardup_conversations``): banded MinHash over each
+    conversation's turn-digest set — catches a re-ingested dialogue
+    with one edited turn, which the exact hash chain can't.  Signatures
+    are 16 longs/conversation; the band join never ships text."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.convstats import neardup_conversations
+
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_NEARDUP_CONV_CORPUS_SQL)
+    return neardup_conversations(corpus, threshold=0.7)
+
+
+def _sql_neardup_conversations() -> str:
+    x = HS.sql_h32("COALESCE(md5(text), '<null>')")
+    aggs = ", ".join(
+        f"min({HS.sql_minhash_perm('x', a, b)}) AS sig_{i}"
+        for i, (a, b) in enumerate(HS.MINHASH_COEFFS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, ".format(b=bi)
+        + " || '_' || ".join(
+            f"CAST(sig_{bi * D.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(D.ROWS_PER_BAND)
+        )
+        + " AS key FROM sigs"
+        for bi in range(D.N_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_CONV_CORPUS_SQL}),
+th AS (SELECT DISTINCT conv_id, {x} AS x FROM corpus),
+sigs AS (SELECT conv_id AS doc_id, {aggs} FROM th GROUP BY conv_id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS conv_a, b.doc_id AS conv_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM th GROUP BY conv_id),
+inters AS (
+  SELECT c.conv_a, c.conv_b, count(*) AS ni
+  FROM cands c
+  JOIN th ta ON ta.conv_id = c.conv_a
+  JOIN th tb ON tb.conv_id = c.conv_b AND tb.x = ta.x
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.conv_a, c.conv_b,
+         CAST(COALESCE(i.ni, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.ni, 0)) AS jac
+  FROM cands c
+  JOIN sizes sa ON sa.conv_id = c.conv_a
+  JOIN sizes sb ON sb.conv_id = c.conv_b
+  LEFT JOIN inters i ON i.conv_a = c.conv_a AND i.conv_b = c.conv_b
+)
+SELECT conv_a, conv_b, round(jac, 6) AS jaccard
+FROM scored WHERE jac >= 0.7
+"""
+
+
 # Documents with planted boilerplate: a global header line on every doc
 # and one of three rotating footer lines — what a web crawl's site
 # chrome looks like after HTML extraction.
@@ -2578,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "detect_turn_loops": q_detect_turn_loops,
         "conversation_langmix": q_conversation_langmix,
+        "neardup_conversations": q_neardup_conversations,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "corpus_ngrams": q_corpus_ngrams,
@@ -2643,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": _sql_fix_mojibake_query(),
         "detect_turn_loops": _sql_detect_turn_loops(),
         "conversation_langmix": _sql_conversation_langmix(),
+        "neardup_conversations": _sql_neardup_conversations(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_jaccard": SQL_DEDUP_JACCARD,
         "corpus_ngrams": _sql_corpus_ngrams(),

@@ -82,6 +82,7 @@ BENCH_QUERIES_EXTRA = [
     "fix_mojibake",
     "detect_turn_loops",
     "conversation_langmix",
+    "neardup_conversations",
 ]
 
 

@@ -356,3 +356,60 @@ def conversation_lang_consistency(
         (F.col("n") / F.col("n_turns")).alias("majority_frac"),
         (F.col("n_real_langs") > 1).cast("int").alias("is_mixed"),
     )
+
+
+def neardup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate conversation pairs: Jaccard over each
+    conversation's SET of turn digests — robust to a re-ingested
+    dialogue with one edited/truncated turn, which defeats
+    :func:`dedup_conversations`' exact hash chain.
+
+    Same banded-MinHash shape as the document-level scale path
+    (``ops.dedup.minhash_lsh_pairs``), with per-turn md5 digests as the
+    token set instead of word shingles: signatures are 16 longs per
+    conversation, the band self-join shuffles those longs (never text),
+    and only band-colliding candidate pairs pay the exact-Jaccard
+    verify against the digest sets.  Returns
+    ``(conv_a, conv_b, jaccard)`` for pairs at/above ``threshold``.
+    """
+    from .dedup import signature_bands
+    from .hashing import MINHASH_COEFFS, h32, minhash_perm
+
+    th = F.coalesce(F.md5(F.col(text_col)), F.lit("<null>"))
+    hashed = (
+        df.select(F.col(conv_col).alias("doc_id"), h32(th).alias("x"))
+        .distinct()
+        .persist()
+    )
+    sigs = hashed.groupBy("doc_id").agg(*[
+        F.min(minhash_perm(F.col("x"), a, b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ])
+    bands = signature_bands(sigs).persist()
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("conv_a"),
+            F.col("b.doc_id").alias("conv_b"),
+        )
+        .distinct()
+    )
+    sets = hashed.groupBy("doc_id").agg(F.collect_set("x").alias("s"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    uni = F.size(F.col("s_a")) + F.size(F.col("s_b")) - inter
+    jac = inter.cast("double") / uni
+    return (
+        cands.join(sets.select(F.col("doc_id").alias("conv_a"),
+                               F.col("s").alias("s_a")), "conv_a")
+        .join(sets.select(F.col("doc_id").alias("conv_b"),
+                          F.col("s").alias("s_b")), "conv_b")
+        .where(jac >= F.lit(threshold))
+        .select("conv_a", "conv_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1035,3 +1035,22 @@ def test_conversation_lang_consistency(spark):
     assert (p.majority_lang, p.is_mixed, p.majority_frac) == ("en", 0, 1.0)
     u = out["u"]
     assert (u.majority_lang, u.is_mixed) == ("und", 0)
+
+
+def test_neardup_conversations_one_edit(spark):
+    from dp_data_quality_spark.ops.convstats import (
+        dedup_conversations, neardup_conversations,
+    )
+
+    base = [("a", i, f"turn {i}") for i in range(10)]
+    edited = [("a2", i, "CHANGED" if i == 0 else f"turn {i}") for i in range(10)]
+    other = [("z", i, f"zzz {i}") for i in range(10)]
+    df = spark.createDataFrame(base + edited + other,
+                               "conv_id string, turn_idx int, text string")
+    pairs = neardup_conversations(df, threshold=0.7).collect()
+    assert [(r.conv_a, r.conv_b) for r in pairs] == [("a", "a2")]
+    # 9 shared digests of 11 distinct → jaccard 9/11
+    assert pairs[0].jaccard == round(9 / 11, 6)
+    # the exact hash chain can NOT pair them
+    fp = {r.conv_id: r.fingerprint for r in dedup_conversations(df).collect()}
+    assert fp["a"] != fp["a2"]
