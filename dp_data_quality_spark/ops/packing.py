@@ -120,3 +120,41 @@ def pack_conversations(
 
     part = src.repartition("conv_id").sortWithinPartitions("conv_id", "__idx")
     return part.mapInPandas(pack_iter, schema)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    shard_key: str = "conv_id",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Export training examples as deterministic JSONL shards:
+    ``{path}/shard=K/*.json`` with one JSON object per line — the
+    standard handoff format for a tokenizer/training pipeline.
+
+    Shard assignment is ``pmod(xxhash64(shard_key), n_shards)`` — a pure
+    function of the key, so reruns and different cluster sizes produce
+    the SAME shard membership (the property that makes downstream
+    resume/caching safe), and everything packed from one conversation
+    lands in one shard.  The same salted-hash family the pipeline
+    buckets by, so mega-conversations are already bounded upstream.
+
+    Scale: one Exchange on the shard id; each task writes exactly one
+    shard directory (no small-file explosion — the same
+    one-directory-per-task layout as the pipeline sink).  Returns the
+    per-shard manifest (shard, n_rows) read back from the COMMITTED
+    files — counts reflect what is actually on disk, not a recompute.
+    """
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)).cast("int"),
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .json(path)
+    )
+    written = df.sparkSession.read.json(path)
+    return written.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -1054,3 +1054,28 @@ def test_neardup_conversations_one_edit(spark):
     # the exact hash chain can NOT pair them
     fp = {r.conv_id: r.fingerprint for r in dedup_conversations(df).collect()}
     assert fp["a"] != fp["a2"]
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dp_data_quality_spark.ops.packing import (
+        pack_conversations, write_training_shards,
+    )
+
+    rows = [(f"c{c}", i, f"w{i} " * 3) for c in range(20) for i in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    packed = pack_conversations(df, budget=12)
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out, n_shards=4)
+    m = {r.shard: r.n_rows for r in manifest.collect()}
+    back = spark.read.json(out)
+    assert sum(m.values()) == back.count() == packed.count()
+    assert set(m) <= {0, 1, 2, 3}
+    # a conversation's chunks never straddle shards, and assignment is
+    # a pure function of the key (rerun-stable)
+    spread = (back.groupBy("conv_id")
+              .agg(F.countDistinct("shard").alias("k")).collect())
+    assert all(r.k == 1 for r in spread)
+    manifest2 = write_training_shards(packed, out, n_shards=4)
+    assert {r.shard: r.n_rows for r in manifest2.collect()} == m
