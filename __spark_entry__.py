@@ -1749,10 +1749,10 @@ counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
 total AS (SELECT count(*) AS total FROM w),
 top AS (SELECT word, n FROM counts ORDER BY n DESC, word ASC LIMIT 30)
 SELECT CAST(row_number() OVER o AS INT) AS rank, word, n,
-       sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cum_n,
-       sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         / CAST(total AS DOUBLE) AS coverage
+       CAST(sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_n,
+       CAST(sum(n) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) / CAST(total AS DOUBLE) AS coverage
 FROM top, total
 WINDOW o AS (ORDER BY n DESC, word ASC)
 """

@@ -54,14 +54,17 @@ def signature_agreement_pairs(
     signature tables, scored by MinHash signature agreement.
 
     ``self_pairs=False`` (two distinct tables): every candidate pair is
-    emitted as (left doc_a, right doc_b).  ``self_pairs=True`` (same
-    table on both sides): pairs are deduplicated to doc_a < doc_b.
-    Candidates only exist where a band key matches, so the join shuffles
-    band keys, never the corpus."""
+    emitted as (left doc_a, right doc_b) — INCLUDING identical ids, so a
+    document re-ingested in a later batch under the same doc_id matches
+    its own index entry (est_jaccard 1.0) instead of silently appending a
+    duplicate signature.  ``self_pairs=True`` (same table on both
+    sides): pairs are deduplicated to doc_a < doc_b.  Candidates only
+    exist where a band key matches, so the join shuffles band keys,
+    never the corpus."""
     a = signature_bands(left_sigs).alias("a")
     b = signature_bands(right_sigs).alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id") if self_pairs else (
-        F.col("a.doc_id") != F.col("b.doc_id")
+    cond = (
+        F.col("a.doc_id") < F.col("b.doc_id") if self_pairs else F.lit(True)
     )
     candidates = (
         a.join(b, on=["band", "key"])
@@ -129,12 +132,20 @@ def incremental_dedup(
     ``batch_id`` is idempotent: the batch's own partition is excluded
     from the probe and overwritten on commit."""
     sigs = minhash_signatures(batch, id_col, text_col, n).persist()
+    # materializes the persisted signatures AND supplies n_input without a
+    # second scan of the (potentially huge) batch text
+    n_input = sigs.count()
 
-    try:
+    # probe index existence explicitly — a transient read failure (object
+    # store hiccup, permissions, corrupt footer) must PROPAGATE, not be
+    # mistaken for "first batch" and silently skip historical dedup
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
         index = spark.read.parquet(index_path)
         index = index.filter(F.col("batch_id") != batch_id).drop("batch_id")
         have_index = True
-    except Exception:  # first batch: no index yet
+    else:  # first batch: no index yet
         index = None
         have_index = False
 
@@ -158,19 +169,18 @@ def incremental_dedup(
     drop_ids = dup_pairs.select(F.col("doc_a").alias(id_col)).distinct()
     kept = batch.join(drop_ids, on=id_col, how="left_anti")
 
-    n_input = batch.count()
-    n_vs_index = (
-        dup_pairs.filter(F.col("source") == "index")
-        .select("doc_a").distinct().count()
-    )
-    n_within = (
-        dup_pairs.filter(F.col("source") == "batch")
-        .join(
-            dup_pairs.filter(F.col("source") == "index").select("doc_a"),
-            "doc_a", "left_anti",
+    # one job over the persisted (bounded) pair set: per dropped doc,
+    # index-match wins the attribution; within-batch otherwise
+    stats = (
+        dup_pairs.groupBy("doc_a")
+        .agg(F.max((F.col("source") == "index").cast("int")).alias("hit_idx"))
+        .agg(
+            F.coalesce(F.sum("hit_idx"), F.lit(0)).alias("vs_index"),
+            F.coalesce(F.sum(1 - F.col("hit_idx")), F.lit(0)).alias("within"),
         )
-        .select("doc_a").distinct().count()
+        .first()
     )
+    n_vs_index, n_within = int(stats["vs_index"]), int(stats["within"])
     n_kept = n_input - n_vs_index - n_within
 
     # commit survivors' signatures into this batch's index partition

@@ -37,7 +37,7 @@ split keeps Python minimal and the heavy lifting JVM-side:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .textstats import word_count
 
@@ -143,9 +143,28 @@ def write_training_shards(
     Scale: one Exchange on the shard id; each task writes exactly one
     shard directory (no small-file explosion — the same
     one-directory-per-task layout as the pipeline sink).  Returns the
-    per-shard manifest (shard, n_rows) read back from the COMMITTED
-    files — counts reflect what is actually on disk, not a recompute.
+    per-shard manifest (shard, n_rows) read back from THIS RUN's
+    committed files — counts reflect what this run put on disk, not a
+    recompute: under ``mode='append'`` pre-existing files are excluded
+    by a before/after file-listing diff, and the read-back uses the
+    input DataFrame's explicit schema so an empty input yields an empty
+    manifest instead of a schema-inference failure.
     """
+    spark = df.sparkSession
+
+    def _list_files(p: str) -> set[str]:
+        jp = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jp):
+            return set()
+        out, it = set(), fs.listFiles(jp, True)
+        while it.hasNext():
+            f = it.next().getPath().toString()
+            if "/shard=" in f and not f.endswith("_SUCCESS"):
+                out.add(f)
+        return out
+
+    before = _list_files(path) if mode == "append" else set()
     sharded = df.withColumn(
         "shard",
         F.pmod(F.xxhash64(F.col(shard_key)), F.lit(n_shards)).cast("int"),
@@ -156,5 +175,15 @@ def write_training_shards(
         .mode(mode)
         .json(path)
     )
-    written = df.sparkSession.read.json(path)
+    new_files = sorted(_list_files(path) - before)
+    # explicit schema: no inference ⇒ empty input / empty file set is fine;
+    # shard comes back via partition discovery (basePath)
+    read_schema = T.StructType(
+        list(df.schema) + [T.StructField("shard", T.IntegerType())]
+    )
+    if not new_files:
+        return spark.createDataFrame([], "shard int, n_rows long")
+    written = (
+        spark.read.option("basePath", path).schema(read_schema).json(new_files)
+    )
     return written.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))

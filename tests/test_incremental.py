@@ -62,3 +62,34 @@ def test_signature_agreement_matches_exact_on_identical_docs(spark):
     # identical text → all 16 components agree; unrelated texts share no
     # band key and never become candidates
     assert got == {(1, 10): 1.0}
+
+
+def test_same_id_reingestion_is_caught(spark, tmp_path):
+    """A doc re-ingested in a LATER batch under the SAME doc_id must match
+    its own index entry (est 1.0), not be kept and re-appended."""
+    from dp_data_quality_spark.ops.incremental import incremental_dedup
+
+    idx = str(tmp_path / "sig_index")
+    incremental_dedup(spark, _df(spark, [(1, T_A), (2, T_B)]), idx, "b1")
+    r2 = incremental_dedup(spark, _df(spark, [(1, T_A), (5, T_C)]), idx, "b2")
+    assert r2.n_dropped_vs_index == 1
+    assert sorted(r.doc_id for r in r2.kept.collect()) == [5]
+    index = spark.read.parquet(idx)
+    # doc 1's signature appears once (batch b1), never duplicated
+    assert sorted(r.doc_id for r in index.collect()) == [1, 2, 5]
+
+
+def test_corrupt_index_propagates_not_first_batch(spark, tmp_path):
+    """A readable-path-but-unreadable-index error must raise, not be
+    silently treated as 'first batch' (which would skip historical dedup
+    and admit duplicates)."""
+    import pytest
+
+    from dp_data_quality_spark.ops.incremental import incremental_dedup
+
+    idx = tmp_path / "sig_index"
+    idx.mkdir()
+    (idx / "batch_id=b0").mkdir()
+    (idx / "batch_id=b0" / "part-00000.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        incremental_dedup(spark, _df(spark, [(1, T_A)]), str(idx), "b1")

@@ -1079,3 +1079,27 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     assert all(r.k == 1 for r in spread)
     manifest2 = write_training_shards(packed, out, n_shards=4)
     assert {r.shard: r.n_rows for r in manifest2.collect()} == m
+
+
+def test_write_training_shards_append_counts_only_this_run(spark, tmp_path):
+    from dp_data_quality_spark.ops.packing import write_training_shards
+
+    rows1 = [(f"c{c}", f"t{c}") for c in range(8)]
+    rows2 = [(f"d{c}", f"u{c}") for c in range(5)]
+    df1 = spark.createDataFrame(rows1, "conv_id string, text string")
+    df2 = spark.createDataFrame(rows2, "conv_id string, text string")
+    out = str(tmp_path / "shards")
+    m1 = write_training_shards(df1, out, n_shards=2)
+    assert sum(r.n_rows for r in m1.collect()) == 8
+    # append a second run: its manifest covers ONLY the appended rows
+    m2 = write_training_shards(df2, out, n_shards=2, mode="append")
+    assert sum(r.n_rows for r in m2.collect()) == 5
+    assert spark.read.json(out).count() == 13
+
+
+def test_write_training_shards_empty_input(spark, tmp_path):
+    from dp_data_quality_spark.ops.packing import write_training_shards
+
+    df = spark.createDataFrame([], "conv_id string, text string")
+    manifest = write_training_shards(df, str(tmp_path / "s"), n_shards=2)
+    assert manifest.count() == 0
