@@ -154,7 +154,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--convs", type=int, default=100_000)
-    ap.add_argument("--reps", type=int, default=2)
+    # 3 reps: rep 0 pays JIT/page-cache warmup; min-of-3 is measurably
+    # more stable than min-of-2 against this VM's run-to-run noise
+    # (identical code measured 198k..261k turns/s across back-to-back
+    # invocations — see docs/PERF.md "r3 regression postmortem")
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
