@@ -1,0 +1,155 @@
+"""Persistent IVF index for similarity search: build once, probe many.
+
+The ANN family in :mod:`.similarity` recomputes its coarse quantization
+per query (fine for one-shot queries; wasteful for a served index).  A
+100-TB similarity-search deployment builds the index ONCE and probes it
+many times — the same pattern :mod:`.incremental` established for the
+dedup signature index.  Layout on disk:
+
+- ``{path}/centroids`` — the fitted coarse quantizer: ``(cent_id int,
+  cent_emb array<double>)``, k rows (k-means over the corpus, Lloyd's
+  via :func:`..clustering.kmeans_fit`).
+- ``{path}/lists`` — the inverted lists: every corpus vector stored
+  under its nearest centroid, ``partitionBy("cent_id")`` so that a
+  probe reads ONLY the probed lists (static partition pruning — the
+  probe collects its ≤ |queries|·n_probe distinct list ids, a few ints,
+  and pushes them into the scan as a literal IN filter; the other
+  ``(n_centroids - n_probe)/n_centroids`` of the corpus is never
+  opened).
+
+Probe cost is O(|queries| · corpus/n_centroids · n_probe) with NO
+k-means fit, NO corpus scan, and NO shuffle of the lists (the query
+assignment table is broadcast).  Numerically the probe reproduces
+:func:`..similarity.ivf_kmeans_ann_topk` bit-for-bit: the centroids are
+persisted as float64 exactly as fitted, the lists round-trip the
+float32 embeddings losslessly through parquet, and the scoring is the
+same ``cosine_pairs`` chain — which is what lets the unrolled-k-means
+DuckDB oracle hash-gate the persisted path end-to-end.
+
+Scale notes: at 10⁹ vectors the lists are ~256 GB of parquet split over
+n_centroids partitions — each probe task reads a bounded slice; the
+centroid table is k×dim doubles (broadcast); rebuilds are atomic
+(overwrite both directories).  For query batches too large to
+broadcast, flip the probe join's broadcast hint to a shuffle join on
+``cent_id`` — the list side is already partitioned by it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine_pairs
+
+
+@dataclass
+class IvfIndexInfo:
+    path: str
+    n_centroids: int
+    n_vectors: int
+
+
+def _assign(df: DataFrame, cents: DataFrame, id_alias: str, emb_alias: str,
+            probes: int, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-``probes`` centroid assignment (broadcast centroid table,
+    same ranking/tie-break as ``similarity.ivf_ann_topk``)."""
+    scored = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
+    ).crossJoin(F.broadcast(cents)).select(
+        id_alias, emb_alias, "cent_id",
+        cosine_pairs(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= probes)
+        .drop("csim", "crank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndexInfo:
+    """Offline build: fit the coarse quantizer and materialize the
+    inverted lists.  One k-means fit (n_iter corpus scans) + one
+    assignment scan + one partitioned write; deterministic (seeded init
+    = first k vectors, ties broken on cent_id), so rebuilding from the
+    same corpus produces byte-identical lists."""
+    from .clustering import kmeans_fit
+
+    spark = corpus.sparkSession
+    centroids, _ = kmeans_fit(corpus, k=n_centroids, n_iter=n_iter,
+                              id_col=id_col, vec_col=vec_col)
+    cents = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cent_id int, cent_emb array<double>",
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    assigned = _assign(corpus, cents, "vec_id", "embedding", 1,
+                       id_col, vec_col)
+    (
+        assigned.repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_path}/lists")
+    )
+    n = spark.read.parquet(f"{index_path}/lists").count()
+    return IvfIndexInfo(path=index_path, n_centroids=n_centroids, n_vectors=n)
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Online probe: top-k cosine neighbors per query from the PERSISTED
+    index — no k-means fit, no full-corpus scan.  Reads the centroid
+    table (k rows), assigns each query its ``n_probe`` nearest lists,
+    then scans only those list partitions (literal IN filter → static
+    partition pruning at the parquet scan).  Output schema matches
+    ``similarity.cosine_topk``: (query_id, neighbor_id, rank, sim)."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    query_a = _assign(queries, cents, "query_id", "q_emb", n_probe,
+                      id_col, vec_col)
+
+    # ≤ |queries|·n_probe ints — driver-bounded by construction
+    probe_ids = sorted(
+        r.cent_id for r in query_a.select("cent_id").distinct().collect()
+    )
+    lists = (
+        spark.read.parquet(f"{index_path}/lists")
+        .filter(F.col("cent_id").isin(probe_ids))
+        .select("cent_id", F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("c_emb"))
+    )
+    scored = (
+        lists.join(F.broadcast(query_a), on="cent_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_pairs(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("sim", 6).alias("sim"))
+    )

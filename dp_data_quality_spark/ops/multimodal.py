@@ -1,13 +1,18 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-a metadata struct (format, n_bytes, sha256). The Spark-side plumbing —
+a metadata struct (format, n_bytes, sha256).  The Spark-side plumbing —
 schema, partition-preserving mapInPandas, Arrow batch shapes — is real
-and tested; the actual media decode is STUBBED (decode libraries are
-not in this container) behind ``decode_media``, which raises
-``NotImplementedError`` for real formats and produces a deterministic
-fake "thumbnail" for the synthetic ``utf8-text`` format so the batch
-path is exercised end-to-end.
+and tested, and so is the decode for the two hermetic formats:
+
+- **PPM (P6)** and **BMP (24-bit uncompressed)** are DECODED FOR REAL in
+  the Arrow batch (pure-stdlib header parse + pixel extraction,
+  bottom-up BGR rows and 4-byte row padding handled for BMP), emitting
+  (width, height, channels, px_mean).
+- Container formats that need codec libraries not present in this
+  environment (jpeg/png/wav/mp4) remain stubbed behind
+  ``decode_media`` → ``NotImplementedError``; plug PIL/ffmpeg into
+  ``decode_image`` on a real cluster.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched,
 partition-local, no shuffle); binary payloads never pass through the
@@ -17,6 +22,7 @@ scan (columnar projection), so a "count by format" never reads bytes.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,9 +36,16 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType()),
     T.StructField("sha256", T.StringType()),
     T.StructField("thumb", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("px_mean", T.DoubleType()),
 ])
 
+# formats whose decode needs codec libraries absent from this container
 REAL_FORMATS = {"jpeg", "png", "wav", "mp4"}
+# hermetically decodable image formats (pure-stdlib parse below)
+IMAGE_FORMATS = {"ppm", "bmp"}
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -50,12 +63,86 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- real decoders (pure stdlib, hermetic) --------------------------------
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
+    """Binary PPM (P6, maxval ≤ 255): (width, height, channels, px_mean).
+
+    Header is ``P6\\n<w> <h>\\n<maxval>\\n`` followed by w*h RGB triplets.
+    Comments (# lines) are consumed per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # tokenize the header: magic, width, height, maxval; '#' starts a
+    # comment running to end-of-line
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    i += 1  # single whitespace byte after maxval
+    body = payload[i : i + 3 * w * h]
+    if len(body) != 3 * w * h:
+        raise ValueError("truncated PPM body")
+    return w, h, 3, sum(body) / len(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): (width, height,
+    channels, px_mean).  Pixel rows are stored bottom-up, BGR, padded to
+    4 bytes — padding is excluded from the mean."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    h = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    total = 0
+    count = 0
+    for y in range(h):
+        start = data_off + y * row
+        px = payload[start : start + w * 3]  # strip padding
+        total += sum(px)
+        count += len(px)
+    if count != 3 * w * h:
+        raise ValueError("truncated BMP body")
+    return w, h, 3, total / count
+
+
+def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
+    """Dispatch to the hermetic decoders; real-cluster extension point
+    for codec-library formats (PIL/ffmpeg)."""
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"decode for {fmt!r} requires media libraries not present in "
+        "this container; plug in PIL/ffmpeg here on a real cluster"
+    )
+
+
 def decode_media(fmt: str, payload: bytes) -> bytes:
-    """STUB: real media decode is not available in this environment.
+    """Thumbnail bytes for non-image payloads.
 
     For the synthetic ``utf8-text`` format, returns a deterministic fake
-    "thumbnail" (first 16 bytes) so the Arrow batch path runs for real.
-    """
+    "thumbnail" (first 16 bytes) so the Arrow batch path runs for real;
+    codec-library formats raise (see module docstring)."""
     if fmt in REAL_FORMATS:
         raise NotImplementedError(
             f"decode for {fmt!r} requires media libraries not present in "
@@ -64,26 +151,107 @@ def decode_media(fmt: str, payload: bytes) -> bytes:
     return payload[:16]
 
 
+# --- deterministic synthetic image payloads -------------------------------
+
+def _synth_image(doc_id: int) -> tuple[bytes, str]:
+    """Deterministic image payload for ``doc_id``: PPM for even ids, BMP
+    for odd; width = 4 + id%13, height = 3 + id%7, all three channels of
+    logical pixel i carry ``(doc_id*37 + i) % 251``.  Every field is a
+    pure function of doc_id, so an oracle can recompute dims, byte size
+    and pixel mean without parsing bytes."""
+    w = 4 + doc_id % 13
+    h = 3 + doc_id % 7
+    vals = bytes((doc_id * 37 + i) % 251 for i in range(w * h))
+    if doc_id % 2 == 0:
+        header = f"P6\n{w} {h}\n255\n".encode()
+        body = b"".join(bytes((v, v, v)) for v in vals)
+        return header + body, "ppm"
+    row_sz = (w * 3 + 3) // 4 * 4
+    img_sz = row_sz * h
+    hdr = b"BM" + struct.pack("<IHHI", 54 + img_sz, 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_sz, 0, 0, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        rv = vals[y * w : (y + 1) * w]
+        line = b"".join(bytes((v, v, v)) for v in rv)
+        rows.append(line + b"\x00" * (row_sz - len(line)))
+    return hdr + b"".join(rows), "bmp"
+
+
+def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic real-image payload (PPM/BMP alternating by
+    id parity) to each row — the hermetic stand-in for an ingest that
+    carries actual media bytes.  Same row shape as :func:`attach_binary`."""
+    gen_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            made = [_synth_image(int(d)) for d in ids]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [m[0] for m in made],
+                "fmt": [m[1] for m in made],
+            })
+
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.col("fmt").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    ).drop("fmt")
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    mapInPandas: each batch is a pandas DataFrame; hashing/thumbnailing
-    happen partition-locally. Output schema is fixed (FEATURE_SCHEMA)."""
+    mapInPandas: each batch is a pandas DataFrame; hashing/thumbnailing/
+    image decode happen partition-locally.  Image formats (ppm/bmp) are
+    decoded for real → (width, height, channels, px_mean); non-image
+    formats get the thumbnail path with null image columns.  Output
+    schema is fixed (FEATURE_SCHEMA)."""
     import hashlib
+
+    def _row(doc_id, fmt, payload):
+        base = {
+            "doc_id": doc_id,
+            "format": fmt,
+            "n_bytes": len(payload),
+            "sha256": None,
+            "thumb": None,
+            "width": None,
+            "height": None,
+            "channels": None,
+            "px_mean": None,
+        }
+        if fmt in IMAGE_FORMATS:
+            w, h, ch, mean = decode_image(fmt, payload)
+            # raw mean (exact integer-sum / count in float64); callers
+            # round engine-side so both engines round identically
+            base.update(width=w, height=h, channels=ch, px_mean=mean)
+        else:
+            base.update(
+                sha256=hashlib.sha256(payload).hexdigest(),
+                thumb=decode_media(fmt, payload).hex(),
+            )
+        return base
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            fmts = pdf["fmt"]
-            yield pd.DataFrame({
-                "doc_id": pdf[id_col],
-                "format": fmts,
-                "n_bytes": payloads.str.len().astype("int32"),
-                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                "thumb": [
-                    decode_media(f, p).hex() for f, p in zip(fmts, payloads)
-                ],
-            })
+            rows = [
+                _row(d, f, p)
+                for d, f, p in zip(pdf[id_col], pdf["fmt"], pdf["payload"])
+            ]
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
 
     src = df.select(
         F.col(id_col), F.col("payload"), F.col("media_meta.format").alias("fmt")

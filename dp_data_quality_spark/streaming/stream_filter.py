@@ -134,3 +134,75 @@ def windowed_drop_metrics(
             "count",
         )
     )
+
+
+def dedup_conversations_stream(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversation-level exact dedup AT INGEST TIME — the streaming form
+    of ``ops.convstats.dedup_conversations`` (the double-ingest guard is
+    most valuable before duplicates land in the lake).
+
+    Two chained watermark-bounded stateful stages:
+
+    1. **Close conversations**: per ``conv_id``, a ``session_window``
+       (gap-merge on event time) collects the turn set; the watermark
+       closes a conversation ``gap`` after its last turn and emits ONE
+       row carrying the same hash-chain fingerprint the batch operator
+       computes — md5 over the idx-ordered per-turn md5 digests (text
+       is hashed map-side; the session state stores 32-char digests,
+       never text; NULL text hashes to a sentinel).
+    2. **Drop re-ingested fingerprints**:
+       ``dropDuplicatesWithinWatermark`` on the fingerprint keeps the
+       FIRST completed conversation carrying it; a replayed or
+       double-ingested dialogue (same turns under any conv_id) inside
+       the watermark horizon is dropped.  State for both stages is
+       bounded by the watermark — nothing grows with the corpus.
+
+    Fingerprint parity with the batch operator holds whenever a
+    conversation's turns fall inside one session window (the operator's
+    completeness contract); the emitted row also reports ``n_turns``
+    and the closing timestamp for lineage.
+    """
+    per_turn = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")).alias("h"),
+    )
+    convs = (
+        per_turn.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col("conv_id"),
+        )
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("turn_idx", "h"))),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("fingerprint"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    # Deduplicate BEFORE projecting the session struct away: the agg
+    # output's event time lives on the session_window struct, and the
+    # propagated watermark is what bounds the dedup state.  (A
+    # re-declared withWatermark on the projected close time DEADLOCKS:
+    # the query's global watermark is the min across watermark nodes,
+    # and a node fed only by the aggregation's output never advances
+    # past epoch until the aggregation emits — which itself waits on
+    # the global watermark.)
+    return convs.dropDuplicatesWithinWatermark(["fingerprint"]).select(
+        "conv_id", "fingerprint", "n_turns",
+        F.col("sw.end").alias("closed_at"),
+    )

@@ -1103,3 +1103,56 @@ def test_write_training_shards_empty_input(spark, tmp_path):
     df = spark.createDataFrame([], "conv_id string, text string")
     manifest = write_training_shards(df, str(tmp_path / "s"), n_shards=2)
     assert manifest.count() == 0
+
+
+def test_multimodal_image_decode_real(spark):
+    """PPM/BMP payloads are decoded for REAL in the Arrow batch: dims,
+    byte size and pixel mean match the independent construction formulas."""
+    from dp_data_quality_spark.ops import multimodal as MM
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    feats = {
+        r.doc_id: r
+        for r in MM.extract_features(MM.synth_image_payloads(df)).collect()
+    }
+    for d in range(12):
+        r = feats[d]
+        w, h = 4 + d % 13, 3 + d % 7
+        vals = [(d * 37 + i) % 251 for i in range(w * h)]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert r.format == ("ppm" if d % 2 == 0 else "bmp")
+        assert abs(r.px_mean - sum(vals) / len(vals)) < 1e-9
+        if d % 2 == 0:
+            assert r.n_bytes == 9 + len(str(w)) + len(str(h)) + 3 * w * h
+        else:
+            assert r.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
+        assert r.sha256 is None and r.thumb is None  # image rows: no thumb path
+
+
+def test_multimodal_bmp_padding_and_orientation():
+    """Decoder handles bottom-up rows and 4-byte padding: a 2x2 BMP with
+    distinct per-pixel values decodes to the exact mean, padding excluded."""
+    import struct as _s
+
+    from dp_data_quality_spark.ops.multimodal import decode_bmp
+
+    w, h = 2, 2
+    row_sz = (w * 3 + 3) // 4 * 4  # 8: two padding bytes per row
+    img_sz = row_sz * h
+    hdr = b"BM" + _s.pack("<IHHI", 54 + img_sz, 0, 0, 54)
+    hdr += _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_sz, 0, 0, 0, 0)
+    # logical pixels (top-left first): 10, 20 / 30, 40 — stored bottom-up
+    rows = [
+        bytes((30, 30, 30, 40, 40, 40)) + b"\xff\xff",  # padding NOT 0:
+        bytes((10, 10, 10, 20, 20, 20)) + b"\xff\xff",  # must be excluded
+    ]
+    gw, gh, ch, mean = decode_bmp(hdr + b"".join(rows))
+    assert (gw, gh, ch) == (2, 2, 3)
+    assert mean == 25.0
+
+
+def test_multimodal_codec_formats_still_stubbed():
+    from dp_data_quality_spark.ops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image("png", b"\x89PNG")

@@ -13,7 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = E.queries()[name](spark, SF)
+    # q_<name> first: the registry consolidates families into tagged
+    # panels, but plan shapes are pinned per OPERATOR
+    fn = getattr(E, f"q_{name}", None) or E.queries()[name]
+    df = fn(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -267,3 +267,84 @@ def test_windowed_metrics_drop_late_rows_beyond_watermark(spark, tmp_path):
     # the 12:00 window holds only the two on-time rows; the late third
     # arrival was dropped from metrics
     assert counts.get("12:00") == 2, rows
+
+
+def test_dedup_conversations_stream_drops_reingested_dialogue(spark, tmp_path):
+    """A dialogue re-ingested under a NEW conv_id (the failure mode
+    doc-level dedup can't see) is dropped once its session closes; the
+    batch fingerprint and the streaming fingerprint agree; replaying the
+    same files is idempotent."""
+    import datetime as dt
+
+    from dp_data_quality_spark.ops.convstats import dedup_conversations
+    from dp_data_quality_spark.streaming.stream_filter import (
+        dedup_conversations_stream,
+    )
+
+    t = lambda m: dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(minutes=m)
+    schema = "conv_id string, turn_idx int, text string, ts timestamp"
+    inp = str(tmp_path / "inp")
+    # batch 1: conversation a (2 turns) + unrelated conversation b
+    spark.createDataFrame(
+        [("a", 0, "hi", t(0)), ("a", 1, "bye", t(1)), ("b", 0, "yo", t(0))],
+        schema,
+    ).write.mode("append").parquet(inp)
+    # batch 2: the SAME dialogue re-ingested as conv_id a2
+    spark.createDataFrame(
+        [("a2", 0, "hi", t(2)), ("a2", 1, "bye", t(3))], schema
+    ).write.mode("append").parquet(inp)
+    # batch 3: watermark pusher far in the future → closes all sessions
+    spark.createDataFrame(
+        [("zz", 0, "late", t(300))], schema
+    ).write.mode("append").parquet(inp)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(inp).schema
+    ).option("maxFilesPerTrigger", 1).parquet(inp)
+    deduped = dedup_conversations_stream(
+        stream, gap="5 minutes", watermark="1 minute"
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    # a survives, its re-ingest a2 is dropped, b is unrelated and kept
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].n_turns == 2 and rows["b"].n_turns == 1
+    # fingerprint parity with the batch operator
+    batch = spark.createDataFrame(
+        [("a", 0, "hi", t(0)), ("a", 1, "bye", t(1))], schema
+    )
+    batch_fp = dedup_conversations(batch).collect()[0].fingerprint
+    assert rows["a"].fingerprint == batch_fp
+
+    # replay idempotence: a fresh query over the same files + same
+    # checkpoint emits nothing new
+    q2 = (
+        dedup_conversations_stream(
+            spark.readStream.schema(spark.read.parquet(inp).schema)
+            .option("maxFilesPerTrigger", 1).parquet(inp),
+            gap="5 minutes", watermark="1 minute",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert {r.conv_id for r in spark.read.parquet(out).collect()} == {"a", "b"}
