@@ -83,6 +83,9 @@ BENCH_QUERIES_EXTRA = [
     "detect_turn_loops",
     "conversation_langmix",
     "neardup_conversations",
+    # round 4
+    "ann_index_probe",
+    "media_decode",
 ]
 
 
