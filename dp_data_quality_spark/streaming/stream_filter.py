@@ -159,11 +159,19 @@ def dedup_conversations_stream(
        is hashed map-side; the session state stores 32-char digests,
        never text; NULL text hashes to a sentinel).
     2. **Drop re-ingested fingerprints**:
-       ``dropDuplicatesWithinWatermark`` on the fingerprint keeps the
-       FIRST completed conversation carrying it; a replayed or
-       double-ingested dialogue (same turns under any conv_id) inside
-       the watermark horizon is dropped.  State for both stages is
-       bounded by the watermark — nothing grows with the corpus.
+       ``dropDuplicatesWithinWatermark`` on the fingerprint keeps ONE
+       completed conversation per fingerprint: a replayed or
+       double-ingested dialogue (same turns under any conv_id) closing
+       inside the dedup horizon is dropped.  The first micro-batch
+       arrival wins; when several copies close in the SAME micro-batch
+       the surviving conv_id is arbitrary but single (the copies are
+       textually identical, so either is a correct survivor — unlike
+       the batch operator, which can see the whole corpus and elects
+       min(conv_id)).  State for both stages is bounded by the
+       watermark — nothing grows with the corpus; the dedup horizon is
+       the upstream watermark delay, so size ``watermark`` to the
+       re-ingest window you need to guard (e.g. hours for a replayed
+       feed), not just to event lateness.
 
     Fingerprint parity with the batch operator holds whenever a
     conversation's turns fall inside one session window (the operator's

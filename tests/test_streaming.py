@@ -307,6 +307,12 @@ def test_dedup_conversations_stream_drops_reingested_dialogue(spark, tmp_path):
 
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
+    def _sink_convs():
+        try:
+            return {r.conv_id for r in spark.read.parquet(out).collect()}
+        except Exception:  # sink not created yet
+            return set()
+
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out)
@@ -316,18 +322,30 @@ def test_dedup_conversations_stream_drops_reingested_dialogue(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
+        # watermark-closed sessions emit in a NO-DATA micro-batch that
+        # processAllAvailable may not wait for under load — poll the
+        # sink with a deadline while the query is still running
+        deadline = time.time() + 90
+        while time.time() < deadline and len(_sink_convs()) < 2:
+            time.sleep(1)
     finally:
         q.stop()
     rows = {r.conv_id: r for r in spark.read.parquet(out).collect()}
-    # a survives, its re-ingest a2 is dropped, b is unrelated and kept
-    assert set(rows) == {"a", "b"}
-    assert rows["a"].n_turns == 2 and rows["b"].n_turns == 1
+    # exactly ONE of the identical dialogues {a, a2} survives (they
+    # close in the same micro-batch, so which conv_id wins is
+    # arbitrary — the guarantee is one survivor per fingerprint);
+    # b is unrelated and kept
+    assert "b" in rows and len(rows) == 2
+    survivors = set(rows) & {"a", "a2"}
+    assert len(survivors) == 1
+    surv = survivors.pop()
+    assert rows[surv].n_turns == 2 and rows["b"].n_turns == 1
     # fingerprint parity with the batch operator
     batch = spark.createDataFrame(
         [("a", 0, "hi", t(0)), ("a", 1, "bye", t(1))], schema
     )
     batch_fp = dedup_conversations(batch).collect()[0].fingerprint
-    assert rows["a"].fingerprint == batch_fp
+    assert rows[surv].fingerprint == batch_fp
 
     # replay idempotence: a fresh query over the same files + same
     # checkpoint emits nothing new
@@ -345,6 +363,8 @@ def test_dedup_conversations_stream_drops_reingested_dialogue(spark, tmp_path):
     )
     try:
         q2.processAllAvailable()
+        time.sleep(2)  # allow any (erroneous) late re-emission to land
     finally:
         q2.stop()
-    assert {r.conv_id for r in spark.read.parquet(out).collect()} == {"a", "b"}
+    final = sorted(r.conv_id for r in spark.read.parquet(out).collect())
+    assert final == sorted([surv, "b"])  # count check: no duplicate rows
