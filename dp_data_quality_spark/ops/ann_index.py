@@ -71,6 +71,9 @@ def _assign(df: DataFrame, cents: DataFrame, id_alias: str, emb_alias: str,
     )
 
 
+INDEX_FORMAT_VERSION = 1  # bump when build output semantics change
+
+
 def build_ivf_index(
     corpus: DataFrame,
     index_path: str,
@@ -78,15 +81,44 @@ def build_ivf_index(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reuse_existing: bool = False,
 ) -> IvfIndexInfo:
     """Offline build: fit the coarse quantizer and materialize the
     inverted lists.  One k-means fit (n_iter corpus scans) + one
     assignment scan + one partitioned write; deterministic (seeded init
     = first k vectors, ties broken on cent_id), so rebuilding from the
-    same corpus produces byte-identical lists."""
+    same corpus produces byte-identical lists.
+
+    ``reuse_existing=True`` is the build-once production mode: when a
+    committed marker (``_BUILT.json``) with matching parameters exists
+    at ``index_path``, the build is skipped entirely and only the probe
+    pays — rebuilding from the same corpus is a no-op by determinism.
+    The marker records (version, n_centroids, n_iter, n_vectors); any
+    mismatch forces a rebuild."""
+    import json
+
     from .clustering import kmeans_fit
 
     spark = corpus.sparkSession
+    params = {
+        "version": INDEX_FORMAT_VERSION,
+        "n_centroids": n_centroids,
+        "n_iter": n_iter,
+    }
+    jp = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/_BUILT.json")
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if reuse_existing and fs.exists(jp):
+        stream = fs.open(jp)
+        try:
+            raw = bytes(
+                spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode()
+        finally:
+            stream.close()
+        marker = json.loads(raw)
+        if {k: marker.get(k) for k in params} == params:
+            return IvfIndexInfo(path=index_path, n_centroids=n_centroids,
+                                n_vectors=marker["n_vectors"])
     centroids, _ = kmeans_fit(corpus, k=n_centroids, n_iter=n_iter,
                               id_col=id_col, vec_col=vec_col)
     cents = spark.createDataFrame(
@@ -104,6 +136,13 @@ def build_ivf_index(
         .parquet(f"{index_path}/lists")
     )
     n = spark.read.parquet(f"{index_path}/lists").count()
+    # commit the marker LAST: its presence implies both directories are
+    # complete, so a crash mid-build can never satisfy reuse_existing
+    out = fs.create(jp, True)
+    try:
+        out.write(bytearray(json.dumps({**params, "n_vectors": n}).encode()))
+    finally:
+        out.close()
     return IvfIndexInfo(path=index_path, n_centroids=n_centroids, n_vectors=n)
 
 

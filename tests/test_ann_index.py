@@ -108,3 +108,31 @@ def test_rebuild_is_deterministic(spark, tmp_path):
     build_ivf_index(corpus, idx, n_centroids=8, n_iter=3)  # overwrite
     r2 = sorted(map(tuple, probe_ivf_index(spark, queries, idx, k=5).collect()))
     assert r1 == r2
+
+
+def test_reuse_existing_skips_rebuild_but_param_change_rebuilds(spark, tmp_path, monkeypatch):
+    from dp_data_quality_spark.ops import ann_index, clustering
+
+    corpus = _emb_df(spark)
+    idx = str(tmp_path / "ivf")
+    info = ann_index.build_ivf_index(corpus, idx, n_centroids=8, n_iter=3)
+    assert info.n_vectors == 200
+
+    calls = {"n": 0}
+    orig = clustering.kmeans_fit
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(clustering, "kmeans_fit", counting)
+    # same params + reuse_existing → no re-fit, marker supplies the info
+    info2 = ann_index.build_ivf_index(
+        corpus, idx, n_centroids=8, n_iter=3, reuse_existing=True
+    )
+    assert calls["n"] == 0 and info2.n_vectors == 200
+    # changed params → marker mismatch → full rebuild
+    ann_index.build_ivf_index(
+        corpus, idx, n_centroids=4, n_iter=2, reuse_existing=True
+    )
+    assert calls["n"] == 1
