@@ -2508,11 +2508,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode in the Arrow batch: deterministic PPM/BMP
+    """REAL image decode in the Arrow batch: deterministic PPM/BMP/PNG
     payloads (``ops.multimodal.synth_image_payloads``) parsed by the
-    pure-stdlib P6/24-bit-BMP decoders → (width, height, channels,
-    px_mean), which the oracle recomputes from the payload-construction
-    formulas without parsing bytes."""
+    pure-stdlib P6 / 24-bit-BMP / zlib-inflate-PNG decoders → (width,
+    height, channels, px_mean), which the oracle recomputes from the
+    payload-construction formulas without parsing bytes (the PNG IDAT
+    is deflate level 0 — stored blocks — so even its compressed byte
+    size is a closed formula)."""
     _prep(spark)
     d = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.synth_image_payloads(d)).withColumn(
@@ -2541,11 +2543,13 @@ SELECT doc_id,
 FROM documents
 UNION ALL
 SELECT g.doc_id,
-       CASE WHEN g.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
-       CAST(CASE WHEN g.doc_id % 2 = 0
-                 THEN 9 + length(CAST(g.w AS STRING))
+       CASE g.doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            ELSE 'png' END AS format,
+       CAST(CASE g.doc_id % 3
+                 WHEN 0 THEN 9 + length(CAST(g.w AS STRING))
                         + length(CAST(g.h AS STRING)) + 3 * g.w * g.h
-                 ELSE 54 + g.h * ((g.w * 3 + 3) // 4 * 4)
+                 WHEN 1 THEN 54 + g.h * ((g.w * 3 + 3) // 4 * 4)
+                 ELSE 68 + g.h * (1 + 3 * g.w)
             END AS INT) AS n_bytes,
        CAST(NULL AS STRING) AS sha256,
        CAST(NULL AS STRING) AS thumb,

@@ -54,13 +54,37 @@ class IvfIndexInfo:
 def _assign(df: DataFrame, cents: DataFrame, id_alias: str, emb_alias: str,
             probes: int, id_col: str, vec_col: str) -> DataFrame:
     """Nearest-``probes`` centroid assignment (broadcast centroid table,
-    same ranking/tie-break as ``similarity.ivf_ann_topk``)."""
+    same ranking/tie-break as ``similarity.ivf_ann_topk``).
+
+    ``probes == 1`` (the offline build path, corpus-sized input) uses a
+    ``max_by`` aggregate instead of a ``row_number`` window: the
+    aggregate is map-side reducible, so each task reduces its corpus×k
+    candidate rows to one row per vector BEFORE the exchange — the
+    window formulation would shuffle k× the corpus WITH embedding
+    payloads just to rank them.  Tie-break is identical (highest csim,
+    then lowest cent_id — NaN sorts greatest in both formulations).
+    ``probes > 1`` (the query side — a handful of rows) keeps the
+    window."""
     scored = df.select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
     ).crossJoin(F.broadcast(cents)).select(
         id_alias, emb_alias, "cent_id",
         cosine_pairs(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
     )
+    if probes == 1:
+        best = scored.groupBy(id_alias).agg(
+            F.max_by(
+                F.struct(F.col(emb_alias).alias("emb"),
+                         F.col("cent_id").alias("cent_id")),
+                F.struct(F.col("csim").alias("csim"),
+                         (-F.col("cent_id")).alias("neg_cid")),
+            ).alias("best")
+        )
+        return best.select(
+            id_alias,
+            F.col("best.emb").alias(emb_alias),
+            F.col("best.cent_id").alias("cent_id"),
+        )
     w = Window.partitionBy(id_alias).orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
     )
@@ -71,7 +95,9 @@ def _assign(df: DataFrame, cents: DataFrame, id_alias: str, emb_alias: str,
     )
 
 
-INDEX_FORMAT_VERSION = 1  # bump when build output semantics change
+# v2: the marker gained a corpus fingerprint (n_corpus) and rebuilds
+# delete the marker up front — v1 markers are unconditionally rebuilt
+INDEX_FORMAT_VERSION = 2
 
 
 def build_ivf_index(
@@ -93,17 +119,30 @@ def build_ivf_index(
     committed marker (``_BUILT.json``) with matching parameters exists
     at ``index_path``, the build is skipped entirely and only the probe
     pays — rebuilding from the same corpus is a no-op by determinism.
-    The marker records (version, n_centroids, n_iter, n_vectors); any
-    mismatch forces a rebuild."""
+    The marker records (version, n_centroids, n_iter, n_corpus,
+    n_vectors); any mismatch forces a rebuild.  ``n_corpus`` binds the
+    marker to the corpus it was built from (row count — metadata-cheap
+    on parquet sources, so the reuse check never scans vector data; a
+    same-count different-content corpus still requires an explicit
+    rebuild, documented trade-off vs hashing the corpus every probe).
+
+    Crash safety both ways: the marker is DELETED before any rebuild
+    touches the directories (a crash mid-rebuild can never leave a
+    stale marker validating new-centroids/old-lists) and is committed
+    LAST via exclusive create (its presence implies both directories
+    are complete; a concurrent builder racing the same path fails the
+    create instead of silently double-committing)."""
     import json
 
     from .clustering import kmeans_fit
 
     spark = corpus.sparkSession
+    n_corpus = corpus.count()
     params = {
         "version": INDEX_FORMAT_VERSION,
         "n_centroids": n_centroids,
         "n_iter": n_iter,
+        "n_corpus": n_corpus,
     }
     jp = spark._jvm.org.apache.hadoop.fs.Path(f"{index_path}/_BUILT.json")
     fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -119,6 +158,10 @@ def build_ivf_index(
         if {k: marker.get(k) for k in params} == params:
             return IvfIndexInfo(path=index_path, n_centroids=n_centroids,
                                 n_vectors=marker["n_vectors"])
+    # rebuilding: retire the old marker FIRST so reuse_existing can
+    # never accept a partially overwritten index
+    if fs.exists(jp):
+        fs.delete(jp, False)
     centroids, _ = kmeans_fit(corpus, k=n_centroids, n_iter=n_iter,
                               id_col=id_col, vec_col=vec_col)
     cents = spark.createDataFrame(
@@ -135,15 +178,17 @@ def build_ivf_index(
         .partitionBy("cent_id")
         .parquet(f"{index_path}/lists")
     )
-    n = spark.read.parquet(f"{index_path}/lists").count()
-    # commit the marker LAST: its presence implies both directories are
-    # complete, so a crash mid-build can never satisfy reuse_existing
-    out = fs.create(jp, True)
+    # nearest-1 assignment preserves row count, so the lists hold
+    # exactly n_corpus vectors — no read-back scan of the written index
+    out = fs.create(jp, False)
     try:
-        out.write(bytearray(json.dumps({**params, "n_vectors": n}).encode()))
+        out.write(bytearray(
+            json.dumps({**params, "n_vectors": n_corpus}).encode()
+        ))
     finally:
         out.close()
-    return IvfIndexInfo(path=index_path, n_centroids=n_centroids, n_vectors=n)
+    return IvfIndexInfo(path=index_path, n_centroids=n_centroids,
+                        n_vectors=n_corpus)
 
 
 def probe_ivf_index(

@@ -130,11 +130,18 @@ def incremental_dedup(
     is not transitive, and single-pass least-element semantics is the
     deterministic, shuffle-bounded choice).  Rerunning the same
     ``batch_id`` is idempotent: the batch's own partition is excluded
-    from the probe and overwritten on commit."""
+    from the probe and overwritten on commit.
+
+    Shingle-less docs (fewer than ``n`` words after normalization)
+    produce no signature: they are KEPT — never probed against the
+    index, never indexed — and they count toward ``n_input``/``n_kept``
+    (``n_input`` is the full batch row count, so
+    ``n_kept == kept.count()`` always holds)."""
     sigs = minhash_signatures(batch, id_col, text_col, n).persist()
-    # materializes the persisted signatures AND supplies n_input without a
-    # second scan of the (potentially huge) batch text
-    n_input = sigs.count()
+    # full-batch accounting: sigs.count() would silently omit docs too
+    # short to shingle, breaking n_kept == kept.count(); a column-pruned
+    # count of the batch is the cheap correct source
+    n_input = batch.count()
 
     # probe index existence explicitly — a transient read failure (object
     # store hiccup, permissions, corrupt footer) must PROPAGATE, not be

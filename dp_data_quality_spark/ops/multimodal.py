@@ -5,14 +5,16 @@ a metadata struct (format, n_bytes, sha256).  The Spark-side plumbing —
 schema, partition-preserving mapInPandas, Arrow batch shapes — is real
 and tested, and so is the decode for the two hermetic formats:
 
-- **PPM (P6)** and **BMP (24-bit uncompressed)** are DECODED FOR REAL in
-  the Arrow batch (pure-stdlib header parse + pixel extraction,
-  bottom-up BGR rows and 4-byte row padding handled for BMP), emitting
-  (width, height, channels, px_mean).
-- Container formats that need codec libraries not present in this
-  environment (jpeg/png/wav/mp4) remain stubbed behind
-  ``decode_media`` → ``NotImplementedError``; plug PIL/ffmpeg into
-  ``decode_image`` on a real cluster.
+- **PPM (P6)**, **BMP (24-bit uncompressed)** and **PNG (8-bit
+  truecolor, non-interlaced)** are DECODED FOR REAL in the Arrow batch
+  (pure-stdlib parse: netpbm header tokenizing; BMP bottom-up BGR rows
+  with 4-byte padding; PNG chunk walk + ``zlib`` inflate + full
+  scanline unfiltering, all five filter types), emitting (width,
+  height, channels, px_mean).
+- Formats that need codec libraries not present in this environment
+  (jpeg/wav/mp4) remain stubbed behind ``decode_media`` →
+  ``NotImplementedError``; plug PIL/ffmpeg into ``decode_image`` on a
+  real cluster.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched,
 partition-local, no shuffle); binary payloads never pass through the
@@ -43,9 +45,9 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 # formats whose decode needs codec libraries absent from this container
-REAL_FORMATS = {"jpeg", "png", "wav", "mp4"}
+REAL_FORMATS = {"jpeg", "wav", "mp4"}
 # hermetically decodable image formats (pure-stdlib parse below)
-IMAGE_FORMATS = {"ppm", "bmp"}
+IMAGE_FORMATS = {"ppm", "bmp", "png"}
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -91,7 +93,12 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, float]:
     w, h, maxval = (int(t) for t in tokens)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    i += 1  # single whitespace byte after maxval
+    # the spec mandates EXACTLY ONE whitespace byte between maxval and
+    # the raster — verify before consuming so a malformed header fails
+    # loudly instead of shifting every pixel by a byte
+    if not payload[i : i + 1].isspace():
+        raise ValueError("PPM header: expected single whitespace after maxval")
+    i += 1
     body = payload[i : i + 3 * w * h]
     if len(body) != 3 * w * h:
         raise ValueError("truncated PPM body")
@@ -124,6 +131,91 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, float]:
     return w, h, 3, total / count
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick of left/up/up-left
+    nearest to the linear estimate, ties resolved left → up → up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_png(raw: bytes, w: int, h: int, bpp: int = 3) -> bytes:
+    """Reverse per-scanline PNG filtering (all five types: None, Sub,
+    Up, Average, Paeth).  ``raw`` is the inflated IDAT stream: each
+    scanline is one filter-type byte + w*bpp filtered bytes."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """8-bit truecolor non-interlaced PNG: (width, height, channels,
+    px_mean) — pure stdlib (``zlib`` inflate + scanline unfiltering).
+
+    Handles multi-chunk IDAT and every scanline filter type; palette /
+    alpha / 16-bit / interlaced variants raise (they need no external
+    codec either, just more code than the plumbing warrants here)."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    w = h = None
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 2:
+                raise ValueError("only 8-bit truecolor (RGB) PNG supported")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    px = _unfilter_png(zlib.decompress(bytes(idat)), w, h)
+    return w, h, 3, sum(px) / len(px)
+
+
 def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
     """Dispatch to the hermetic decoders; real-cluster extension point
     for codec-library formats (PIL/ffmpeg)."""
@@ -131,6 +223,8 @@ def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
         return decode_ppm(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"decode for {fmt!r} requires media libraries not present in "
         "this container; plug in PIL/ffmpeg here on a real cluster"
@@ -153,34 +247,64 @@ def decode_media(fmt: str, payload: bytes) -> bytes:
 
 # --- deterministic synthetic image payloads -------------------------------
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
 def _synth_image(doc_id: int) -> tuple[bytes, str]:
-    """Deterministic image payload for ``doc_id``: PPM for even ids, BMP
-    for odd; width = 4 + id%13, height = 3 + id%7, all three channels of
-    logical pixel i carry ``(doc_id*37 + i) % 251``.  Every field is a
-    pure function of doc_id, so an oracle can recompute dims, byte size
-    and pixel mean without parsing bytes."""
+    """Deterministic image payload for ``doc_id``: PPM for id%3==0, BMP
+    for id%3==1, PNG for id%3==2; width = 4 + id%13, height = 3 + id%7,
+    all three channels of logical pixel i carry ``(doc_id*37 + i) % 251``.
+    Every field is a pure function of doc_id — including the PNG byte
+    size: IDAT is deflate level 0 (stored blocks), so for raw = h*(1+3w)
+    ≤ 65535 the file is exactly ``68 + raw`` bytes (8 signature + 25
+    IHDR chunk + 12 IDAT framing + [2 zlib hdr + 5 stored-block hdr +
+    raw + 4 adler] + 12 IEND) — an oracle recomputes dims, byte size and
+    pixel mean without parsing bytes."""
     w = 4 + doc_id % 13
     h = 3 + doc_id % 7
     vals = bytes((doc_id * 37 + i) % 251 for i in range(w * h))
-    if doc_id % 2 == 0:
+    if doc_id % 3 == 0:
         header = f"P6\n{w} {h}\n255\n".encode()
         body = b"".join(bytes((v, v, v)) for v in vals)
         return header + body, "ppm"
-    row_sz = (w * 3 + 3) // 4 * 4
-    img_sz = row_sz * h
-    hdr = b"BM" + struct.pack("<IHHI", 54 + img_sz, 0, 0, 54)
-    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_sz, 0, 0, 0, 0)
-    rows = []
-    for y in range(h - 1, -1, -1):  # bottom-up storage order
-        rv = vals[y * w : (y + 1) * w]
-        line = b"".join(bytes((v, v, v)) for v in rv)
-        rows.append(line + b"\x00" * (row_sz - len(line)))
-    return hdr + b"".join(rows), "bmp"
+    if doc_id % 3 == 1:
+        row_sz = (w * 3 + 3) // 4 * 4
+        img_sz = row_sz * h
+        hdr = b"BM" + struct.pack("<IHHI", 54 + img_sz, 0, 0, 54)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_sz, 0, 0, 0, 0
+        )
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up storage order
+            rv = vals[y * w : (y + 1) * w]
+            line = b"".join(bytes((v, v, v)) for v in rv)
+            rows.append(line + b"\x00" * (row_sz - len(line)))
+        return hdr + b"".join(rows), "bmp"
+    import zlib
+
+    raw = b"".join(
+        b"\x00" + b"".join(bytes((v, v, v)) for v in vals[y * w : (y + 1) * w])
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 0))
+        + _png_chunk(b"IEND", b"")
+    )
+    return payload, "png"
 
 
 def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a deterministic real-image payload (PPM/BMP alternating by
-    id parity) to each row — the hermetic stand-in for an ingest that
+    """Attach a deterministic real-image payload (PPM/BMP/PNG cycling on
+    id % 3) to each row — the hermetic stand-in for an ingest that
     carries actual media bytes.  Same row shape as :func:`attach_binary`."""
     gen_schema = T.StructType([
         T.StructField("doc_id", T.LongType()),

@@ -110,6 +110,100 @@ def test_rebuild_is_deterministic(spark, tmp_path):
     assert r1 == r2
 
 
+def test_rebuild_retires_stale_marker_before_overwriting(spark, tmp_path, monkeypatch):
+    """A crash mid-REBUILD must not leave the old marker validating a
+    half-overwritten index: the marker is deleted before any directory
+    is touched, so reuse_existing can never serve new-centroids/old-lists."""
+    import os
+
+    import pytest
+
+    from dp_data_quality_spark.ops import ann_index, clustering
+
+    corpus = _emb_df(spark)
+    idx = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(corpus, idx, n_centroids=8, n_iter=3)
+    assert os.path.exists(f"{idx}/_BUILT.json")
+
+    def boom(*a, **k):
+        raise RuntimeError("crash mid-rebuild")
+
+    monkeypatch.setattr(clustering, "kmeans_fit", boom)
+    with pytest.raises(RuntimeError, match="crash mid-rebuild"):
+        ann_index.build_ivf_index(corpus, idx, n_centroids=4, n_iter=2,
+                                  reuse_existing=True)
+    # stale marker is gone → the next reuse_existing build cannot accept
+    # the inconsistent state; it rebuilds from scratch
+    assert not os.path.exists(f"{idx}/_BUILT.json")
+    monkeypatch.undo()
+    info = ann_index.build_ivf_index(corpus, idx, n_centroids=8, n_iter=3,
+                                     reuse_existing=True)
+    assert info.n_vectors == 200 and os.path.exists(f"{idx}/_BUILT.json")
+
+
+def test_marker_is_bound_to_corpus(spark, tmp_path, monkeypatch):
+    """reuse_existing over a DIFFERENT corpus at the same path must
+    rebuild, not silently serve the stale index (the marker records a
+    corpus fingerprint)."""
+    from dp_data_quality_spark.ops import ann_index, clustering
+
+    idx = str(tmp_path / "ivf")
+    ann_index.build_ivf_index(_emb_df(spark, n=200), idx,
+                              n_centroids=8, n_iter=3)
+
+    calls = {"n": 0}
+    orig = clustering.kmeans_fit
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(clustering, "kmeans_fit", counting)
+    info = ann_index.build_ivf_index(_emb_df(spark, n=100), idx,
+                                     n_centroids=8, n_iter=3,
+                                     reuse_existing=True)
+    assert calls["n"] == 1 and info.n_vectors == 100
+
+
+def test_build_assignment_partial_aggregates_no_window(spark):
+    """The offline build's nearest-1 assignment must be a map-side
+    reducible aggregate (partial max_by before the exchange), not a
+    row_number window that shuffles corpus×k embedding rows."""
+    from dp_data_quality_spark.ops.ann_index import _assign
+    from pyspark.sql import Window
+
+    corpus = _emb_df(spark)
+    cents = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("cent_emb"),
+    )
+    out = _assign(corpus, cents, "vec_id", "embedding", 1,
+                  "vec_id", "embedding")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+    # and it selects exactly the rows the window formulation would
+    from dp_data_quality_spark.ops.similarity import cosine_pairs
+
+    scored = corpus.select(
+        F.col("vec_id"), F.col("embedding")
+    ).crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id",
+        cosine_pairs(F.col("embedding"), F.col("cent_emb")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    want = {
+        (r.vec_id, r.cent_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).collect()
+    }
+    got = {(r.vec_id, r.cent_id) for r in out.collect()}
+    assert got == want
+
+
 def test_reuse_existing_skips_rebuild_but_param_change_rebuilds(spark, tmp_path, monkeypatch):
     from dp_data_quality_spark.ops import ann_index, clustering
 

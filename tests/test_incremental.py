@@ -79,6 +79,28 @@ def test_same_id_reingestion_is_caught(spark, tmp_path):
     assert sorted(r.doc_id for r in index.collect()) == [1, 2, 5]
 
 
+def test_shingleless_docs_kept_and_counted(spark, tmp_path):
+    """Docs too short to shingle (< 3 words) produce no signature: they
+    are kept, never indexed, and the stats still reconcile —
+    n_input counts the full batch and n_kept == kept.count()."""
+    from dp_data_quality_spark.ops.incremental import incremental_dedup
+
+    idx = str(tmp_path / "sig_index")
+    r1 = incremental_dedup(
+        spark, _df(spark, [(1, T_A), (2, "hi there")]), idx, "b1"
+    )
+    assert (r1.n_input, r1.n_kept) == (2, 2)
+    assert r1.n_kept == r1.kept.count()
+    assert sorted(r.doc_id for r in r1.kept.collect()) == [1, 2]
+    # only the shingled doc reaches the index
+    assert sorted(r.doc_id for r in spark.read.parquet(idx).collect()) == [1]
+
+    # a later shingle-less doc is never probed → kept, stats reconcile
+    r2 = incremental_dedup(spark, _df(spark, [(3, "hi there")]), idx, "b2")
+    assert (r2.n_input, r2.n_kept) == (1, 1)
+    assert r2.n_kept == r2.kept.count()
+
+
 def test_corrupt_index_propagates_not_first_batch(spark, tmp_path):
     """A readable-path-but-unreadable-index error must raise, not be
     silently treated as 'first batch' (which would skip historical dedup

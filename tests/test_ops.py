@@ -1106,8 +1106,9 @@ def test_write_training_shards_empty_input(spark, tmp_path):
 
 
 def test_multimodal_image_decode_real(spark):
-    """PPM/BMP payloads are decoded for REAL in the Arrow batch: dims,
-    byte size and pixel mean match the independent construction formulas."""
+    """PPM/BMP/PNG payloads are decoded for REAL in the Arrow batch:
+    dims, byte size and pixel mean match the independent construction
+    formulas (PNG included — level-0 IDAT makes its size closed-form)."""
     from dp_data_quality_spark.ops import multimodal as MM
 
     df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
@@ -1120,12 +1121,14 @@ def test_multimodal_image_decode_real(spark):
         w, h = 4 + d % 13, 3 + d % 7
         vals = [(d * 37 + i) % 251 for i in range(w * h)]
         assert (r.width, r.height, r.channels) == (w, h, 3)
-        assert r.format == ("ppm" if d % 2 == 0 else "bmp")
+        assert r.format == {0: "ppm", 1: "bmp", 2: "png"}[d % 3]
         assert abs(r.px_mean - sum(vals) / len(vals)) < 1e-9
-        if d % 2 == 0:
+        if d % 3 == 0:
             assert r.n_bytes == 9 + len(str(w)) + len(str(h)) + 3 * w * h
-        else:
+        elif d % 3 == 1:
             assert r.n_bytes == 54 + h * ((w * 3 + 3) // 4 * 4)
+        else:
+            assert r.n_bytes == 68 + h * (1 + 3 * w)
         assert r.sha256 is None and r.thumb is None  # image rows: no thumb path
 
 
@@ -1155,4 +1158,96 @@ def test_multimodal_codec_formats_still_stubbed():
     from dp_data_quality_spark.ops.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image("png", b"\x89PNG")
+        decode_image("jpeg", b"\xff\xd8\xff")
+
+
+def test_multimodal_png_all_filter_types():
+    """The PNG unfilterer reverses every scanline filter type (None,
+    Sub, Up, Average, Paeth), multi-chunk IDAT included — a decoder that
+    only handled filter 0 would pass the synth round-trip but fail on
+    real encoder output."""
+    import struct as _s
+    import zlib
+
+    from dp_data_quality_spark.ops.multimodal import _paeth, decode_png
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    w, h = 3, 5
+    px = [[(17 * (y * w + x) + 5) % 256 for x in range(w * 3)] for y in range(h)]
+
+    # filter each row with a different type, like a real adaptive encoder
+    raw = bytearray()
+    prev = [0] * (w * 3)
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        line = px[y]
+        enc = []
+        for i in range(w * 3):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: _paeth(a, b, c)}[ft]
+            enc.append((line[i] - pred) & 0xFF)
+        raw.append(ft)
+        raw.extend(enc)
+        prev = line
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    z = zlib.compress(bytes(raw), 6)
+    mid = len(z) // 2  # split IDAT across two chunks
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, ch, mean = decode_png(payload)
+    flat = [v for row in px for v in row]
+    assert (gw, gh, ch) == (w, h, 3)
+    assert abs(mean - sum(flat) / len(flat)) < 1e-12
+
+
+def test_multimodal_png_unsupported_variants_raise():
+    import struct as _s
+    import zlib
+
+    from dp_data_quality_spark.ops.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            _s.pack(">I", len(data)) + ctype + data
+            + _s.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+    pal = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        decode_png(pal)
+    interlaced = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(interlaced)
+
+
+def test_multimodal_ppm_header_whitespace_verified():
+    """decode_ppm consumes exactly one verified whitespace byte after
+    maxval — a malformed header fails loudly instead of shifting the
+    raster by a byte."""
+    from dp_data_quality_spark.ops.multimodal import decode_ppm
+
+    good = b"P6\n2 1\n255\n" + bytes(6)
+    assert decode_ppm(good) == (2, 1, 3, 0.0)
+    # header that ENDS at the maxval token: no whitespace byte to
+    # consume — must raise the header error, not mis-slice the raster
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_ppm(b"P6\n2 1\n255")
+    # \r\n after maxval: the single \r is consumed per spec; the \n
+    # shifts into the raster and the byte count catches the deficit
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 1\n255\r\n" + bytes(4))
