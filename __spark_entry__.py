@@ -2393,6 +2393,62 @@ FROM ranked WHERE rank <= 10
 """
 
 
+# === in-engine text embeddings ============================================
+
+def _sql_doc_embeddings() -> str:
+    """DuckDB CTE body producing (doc_id, embedding BIGINT[64]) from
+    documents.text — the oracle twin of ``hashed_ngram_embeddings``
+    over the shared exploded-shingles fragment (expects a ``corpus``
+    CTE with (doc_id, text) in scope)."""
+    from dp_data_quality_spark.ops.embedding import sql_hashed_ngram_embeddings
+
+    return sql_hashed_ngram_embeddings(_SQL_EXPLODED_SHINGLES)
+
+
+def q_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text embeddings (``ops.embedding``): hashed word-3-gram
+    feature projection of documents.text to 64 signed integer
+    components — the stage that lets the ANN / near-dup family run
+    end-to-end from raw text instead of pre-supplied vectors.  All
+    arithmetic is md5-h32 + integer sums, so the oracle reproduces
+    every component bit-for-bit."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.embedding import hashed_ngram_embeddings
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_ngram_embeddings(d)
+
+
+def q_ann_bruteforce_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN end-to-end FROM TEXT: embed documents in-engine
+    (``ops.embedding.hashed_ngram_embeddings``), then exact cosine
+    top-10 for the query docs (doc_id < 5) — proving the similarity
+    stack's first stage, not just its index."""
+    emb = q_text_embeddings(spark, sf_dir)
+    return SIM.cosine_topk(
+        emb, emb.filter(F.col("doc_id") < 5), k=10, id_col="doc_id"
+    )
+
+
+def _sql_ann_bruteforce_text() -> str:
+    cos = SIM.sql_cosine("q.embedding", "c.embedding")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+emb AS ({_sql_doc_embeddings()}),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id, {cos} AS sim
+  FROM emb c, (SELECT * FROM emb WHERE doc_id < 5) q
+  WHERE c.doc_id <> q.doc_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent-IVF-index probe (``ops.ann_index``): the index is BUILT
     (k-means quantizer + inverted lists partitioned by cent_id) and
@@ -2705,14 +2761,18 @@ def _sql_transcripts_pipeline() -> str:
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four ANN strategies (brute-force ground truth, LSH multi-probe,
-    IVF with sampled centroids, IVF with k-means-trained centroids) as
-    one method-tagged top-k panel."""
+    """All five ANN strategies — brute-force ground truth, LSH
+    multi-probe, IVF with sampled centroids, IVF with k-means-trained
+    centroids (over the embeddings table), and brute-force over
+    IN-ENGINE text embeddings (documents.text → hashed n-gram vectors →
+    top-k, no pre-supplied vectors anywhere) — as one method-tagged
+    top-k panel."""
     parts = [
         ("bruteforce", q_ann_bruteforce),
         ("lsh", q_ann_lsh),
         ("ivf", q_ann_ivf),
         ("ivf_kmeans", q_ann_ivf_kmeans),
+        ("bruteforce_text", q_ann_bruteforce_text),
     ]
     out = None
     for m, fn in parts:
@@ -2727,6 +2787,7 @@ def _sql_ann_methods() -> str:
         ("lsh", _sql_ann_lsh()),
         ("ivf", _sql_ann_ivf()),
         ("ivf_kmeans", _sql_ann_ivf_kmeans()),
+        ("bruteforce_text", _sql_ann_bruteforce_text()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, * FROM ({sql})" for m, sql in parts
@@ -2826,7 +2887,9 @@ def _sql_neardup_pairs() -> str:
 
 def q_signature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 permutations, long format: one row per signature
-    component) + 60-bit SimHash signatures as one tagged panel."""
+    component) + 60-bit SimHash signatures + in-engine hashed-n-gram
+    text EMBEDDINGS (one row per vector component — the embed stage's
+    bit-exact gate) as one tagged panel."""
     n = len(HS.MINHASH_COEFFS)
     mh = q_minhash_signatures(spark, sf_dir).select(
         F.lit("minhash").alias("method"),
@@ -2846,7 +2909,12 @@ def q_signature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("idx"),
         F.col("simhash").cast("long").alias("sig"),
     )
-    return mh.unionByName(sh)
+    em = q_text_embeddings(spark, sf_dir).select(
+        F.lit("embed").alias("method"),
+        "doc_id",
+        F.posexplode("embedding").alias("idx", "sig"),
+    )
+    return mh.unionByName(sh).unionByName(em)
 
 
 def _sql_signature_panel() -> str:
@@ -2856,6 +2924,8 @@ def _sql_signature_panel() -> str:
         f" CAST(sig_{i} AS BIGINT) AS sig FROM s"
         for i in range(n)
     )
+    from dp_data_quality_spark.ops.embedding import EMBED_DIM
+
     return f"""
 SELECT 'minhash' AS method, doc_id, idx, sig
 FROM (WITH s AS ({_sql_minhash_signatures()}) {mh_long})
@@ -2863,6 +2933,12 @@ UNION ALL
 SELECT 'simhash' AS method, doc_id, CAST(0 AS INT) AS idx,
        CAST(simhash AS BIGINT) AS sig
 FROM ({_sql_dedup_simhash()})
+UNION ALL
+SELECT 'embed' AS method, doc_id, CAST(i.i - 1 AS INT) AS idx,
+       CAST(embedding[i.i] AS BIGINT) AS sig
+FROM (WITH corpus AS (SELECT doc_id, text FROM documents)
+      {_sql_doc_embeddings()}) e
+CROSS JOIN generate_series(1, {EMBED_DIM}) i(i)
 """
 
 

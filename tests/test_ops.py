@@ -262,6 +262,103 @@ def test_fingerprint_normalization(spark):
     assert a == b
 
 
+# --- in-engine text embeddings --------------------------------------------
+
+def test_hashed_ngram_embeddings_properties(spark):
+    from dp_data_quality_spark.ops.embedding import (
+        EMBED_DIM, hashed_ngram_embeddings,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # identical
+        (3, "hi"),  # < 3 words: no shingles
+        (4, "a wholly different text about spark physical plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {
+        r.doc_id: list(r.embedding)
+        for r in hashed_ngram_embeddings(df).collect()
+    }
+    assert set(emb) == {1, 2, 4}  # shingle-less doc absent (minhash convention)
+    assert emb[1] == emb[2] and emb[1] != emb[4]
+    assert all(len(v) == EMBED_DIM for v in emb.values())
+    # components are ±1 sums over 7 distinct shingles: L1 can only lose
+    # mass in pairs (a +1/-1 collision), never gain it
+    l1 = sum(abs(x) for x in emb[1])
+    assert 0 < l1 <= 7 and l1 % 2 == 7 % 2
+
+
+def test_hashed_ngram_embeddings_manual_recompute(spark):
+    """Pin the bucket/sign arithmetic against an independent hashlib
+    recompute (bucket = h32 % 64, sign = bit 6 of h32)."""
+    import hashlib
+
+    from dp_data_quality_spark.ops.embedding import hashed_ngram_embeddings
+
+    text = "alpha beta gamma delta epsilon"
+    words = text.split()
+    want = [0] * 64
+    for s in {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}:
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        want[h % 64] += 1 if ((h >> 6) & 1) == 0 else -1
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = list(hashed_ngram_embeddings(df).collect()[0].embedding)
+    assert got == want
+
+
+def test_hashed_ngram_embeddings_plan_shape(spark):
+    """One exchange total (the shingle window); both aggregations combine
+    map-side; no Python anywhere — the embed stage is pure codegen."""
+    import re
+
+    from dp_data_quality_spark.ops.embedding import hashed_ngram_embeddings
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} and some more words to shingle here {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        hashed_ngram_embeddings(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert "partial_sum" in plan and "partial_collect_list" in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hashed_ngram_embeddings_dim_validation(spark):
+    import pytest as _pytest
+
+    from dp_data_quality_spark.ops.embedding import hashed_ngram_embeddings
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="power of two"):
+        hashed_ngram_embeddings(df, dim=48)
+
+
+def test_ann_from_text_finds_near_duplicate(spark):
+    """End-to-end similarity from raw text: a near-copy document is its
+    source's top-1 cosine neighbor via in-engine embeddings."""
+    from dp_data_quality_spark.ops.embedding import hashed_ngram_embeddings
+    from dp_data_quality_spark.ops.similarity import cosine_topk
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "planner broadcasts the small side")
+    rows = [(0, base), (100, base + " tonight")] + [
+        (i, f"unrelated text number {i} discussing topic {i * 7} "
+            f"with filler tokens {i * 3} {i * 5} {i * 11}")
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hashed_ngram_embeddings(df)
+    top = cosine_topk(
+        emb, emb.filter(F.col("doc_id") == 0), k=1, id_col="doc_id"
+    ).collect()
+    assert top[0].neighbor_id == 100 and top[0].sim > 0.8
+
+
 # --- multimodal ----------------------------------------------------------
 
 def test_multimodal_features_roundtrip(spark):
