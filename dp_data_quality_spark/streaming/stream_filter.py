@@ -214,3 +214,87 @@ def dedup_conversations_stream(
         "conv_id", "fingerprint", "n_turns",
         F.col("sw.end").alias("closed_at"),
     )
+
+
+def incremental_neardup_writer(
+    index_path: str,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+):
+    """``foreachBatch`` function running NEAR-duplicate dedup at ingest:
+    each micro-batch is probed against the persisted MinHash signature
+    index (``ops.incremental.incremental_dedup`` — the exact same
+    operator the batch path runs), survivors land under an
+    ``ingest_batch=stream-{batch_id}`` partition of ``{output_dir}/kept``
+    and their signatures are committed as the index partition
+    ``batch_id=stream-{batch_id}``.
+
+    This is the near-dup sibling of :func:`dedup_conversations_stream`
+    (which guards exact re-ingest): a document ~80 %-similar to anything
+    ALREADY ingested — in any earlier micro-batch or any earlier batch
+    run sharing the index — never reaches the lake.
+
+    Exactly-once per epoch on BOTH sinks under replay: the index commit
+    excludes and dynamically overwrites the batch's own partition
+    (``incremental_dedup``'s contract), and the kept write dynamically
+    overwrites its own ``ingest_batch`` partition — a retried epoch
+    reproduces identical state instead of appending duplicates.
+
+    State lives ON DISK in the index, not in the streaming state store:
+    the probe horizon is the whole ingested corpus (unbounded in time,
+    ~136 bytes/doc), while per-epoch memory stays bounded by the
+    micro-batch — the right trade for corpus-lifetime dedup, where a
+    watermark-bounded state store could only guard a time window."""
+    from ..ops.incremental import incremental_dedup
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        res = incremental_dedup(
+            batch_df.sparkSession, batch_df, index_path,
+            f"stream-{batch_id}", id_col=id_col, text_col=text_col,
+            n=n, threshold=threshold,
+        )
+        try:
+            (
+                res.kept
+                .withColumn("ingest_batch", F.lit(f"stream-{batch_id}"))
+                .write.partitionBy("ingest_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(f"{output_dir}/kept")
+            )
+        finally:
+            # incremental_dedup persists the pair set for its stats; in a
+            # long-running stream that cache must not accumulate per epoch
+            res.dup_pairs.unpersist()
+
+    return _write
+
+
+def start_incremental_neardup(
+    stream_df: DataFrame,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    trigger_seconds: int | None = None,
+):
+    """Wire a document stream → per-epoch incremental near-dup probe →
+    kept-docs sink + signature-index commit; returns the query."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            incremental_neardup_writer(
+                index_path, output_dir, id_col, text_col, n, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -368,3 +368,76 @@ def test_dedup_conversations_stream_drops_reingested_dialogue(spark, tmp_path):
         q2.stop()
     final = sorted(r.conv_id for r in spark.read.parquet(out).collect())
     assert final == sorted([surv, "b"])  # count check: no duplicate rows
+
+
+def test_incremental_neardup_stream_parity_and_replay(spark, tmp_path):
+    """Ingest-time NEAR-dup guard: per-epoch probe of the persisted
+    signature index — kept sets and index state match the batch operator
+    run over the same batch splits, and a replayed epoch is a no-op."""
+    from dp_data_quality_spark.ops.incremental import incremental_dedup
+    from dp_data_quality_spark.streaming.stream_filter import (
+        incremental_neardup_writer,
+        start_incremental_neardup,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "a completely different document about distributed query engines"
+    t_c = "yet another unique piece of text discussing window aggregates"
+    b1_rows = [(1, t_a), (2, t_a), (3, t_b)]
+    b2_rows = [(10, t_a), (11, t_c), (12, t_c)]
+    ddl = "doc_id long, text string"
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(b1_rows, ddl).coalesce(1).write.parquet(inp)
+    stream = spark.readStream.schema(ddl).parquet(inp)
+    q = start_incremental_neardup(stream, idx, out, ckpt)
+    try:
+        q.processAllAvailable()  # epoch 0: batch 1
+        # epoch 1: batch 2 arrives as a new file
+        spark.createDataFrame(b2_rows, ddl).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = spark.read.parquet(f"{out}/kept")
+    got = {
+        r.ingest_batch: set()
+        for r in kept.select("ingest_batch").distinct().collect()
+    }
+    for r in kept.collect():
+        got[r.ingest_batch].add(r.doc_id)
+    # 2 dups 1 within epoch 0; 10 matches the index (1), 12 dups 11
+    assert got == {"stream-0": {1, 3}, "stream-1": {11}}
+    index = spark.read.parquet(idx)
+    assert sorted(r.doc_id for r in index.collect()) == [1, 3, 11]
+    assert {r.batch_id for r in index.collect()} == {"stream-0", "stream-1"}
+
+    # parity with the batch operator over the same splits
+    idx_b = str(tmp_path / "index_batch")
+    r1 = incremental_dedup(
+        spark, spark.createDataFrame(b1_rows, ddl), idx_b, "stream-0"
+    )
+    r2 = incremental_dedup(
+        spark, spark.createDataFrame(b2_rows, ddl), idx_b, "stream-1"
+    )
+    assert {r.doc_id for r in r1.kept.collect()} == got["stream-0"]
+    assert {r.doc_id for r in r2.kept.collect()} == got["stream-1"]
+    assert sorted(r.doc_id for r in spark.read.parquet(idx_b).collect()) == \
+        sorted(r.doc_id for r in index.collect())
+
+    # replayed epoch (crash after commit, before checkpoint): rerunning
+    # the foreachBatch fn with the same batch_id reproduces identical
+    # state — no appended duplicates in either sink
+    writer = incremental_neardup_writer(idx, out)
+    writer(spark.createDataFrame(b2_rows, ddl), 1)
+    kept2 = spark.read.parquet(f"{out}/kept")
+    assert kept2.count() == 3  # {1, 3} + {11}, unchanged
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(idx).collect()
+    ) == [1, 3, 11]
