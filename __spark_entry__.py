@@ -615,7 +615,13 @@ _DOCS_CONFIG = RulesConfig(columns=[
 def q_quality_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's end-to-end quality report (quality_report.py:229-273)
     over the documents table — schema rules, nulls, PII, datatypes, length,
-    duplicates — aggregated to (COLUMN_NAME, VALIDATION_ID, n_fails)."""
+    duplicates — aggregated to (COLUMN_NAME, VALIDATION_ID, n_fails),
+    ROUND-TRIPPED through the reference-parity CSV report sink
+    (quality_report.py:209-215 → ``__main__._report_cmd``): the returned
+    DataFrame is the header-CSV read back with the pre-write schema, so
+    the driver's hash gate covers the sink encode/decode too."""
+    import re as _re
+
     _prep(spark)
     _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     aug = spark.sql(_AUG_DOCS_SQL)
@@ -624,10 +630,13 @@ def q_quality_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     report = build_quality_report(
         aug, _DOCS_CONFIG, table_name="documents", key_cols=["doc_id"]
     )
-    return (
+    agg = (
         report.groupBy("COLUMN_NAME", "VALIDATION_ID")
         .agg(F.count("*").alias("n_fails"))
     )
+    sink = "/tmp/spark_graft_report_" + _re.sub(r"\W+", "_", sf_dir).strip("_")
+    agg.write.mode("overwrite").option("header", True).csv(sink)
+    return spark.read.schema(agg.schema).option("header", True).csv(sink)
 
 
 def _sql_quality_report_documents() -> str:
