@@ -2587,11 +2587,28 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the Arrow batch: deterministic PCM-WAV
+    payloads (``ops.multimodal.synth_audio_payloads``) parsed by the
+    pure-stdlib RIFF/fmt/data walker (``decode_wav``) → (sample_rate,
+    channels, n_frames, amp_mean); the oracle recomputes every field
+    from the payload-construction formulas (PCM: the byte size is
+    44 + 2·frames·channels, samples are a closed function of doc_id)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.synth_audio_payloads(d)).withColumn(
+        "amp_mean", F.round("amp_mean", 6)
+    )
+
+
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: binary plumbing (utf8-text rows, thumbnail path)
-    + real image decode (ppm/bmp rows) as one format-tagged panel."""
-    return q_multimodal_features(spark, sf_dir).unionByName(
-        q_media_decode(spark, sf_dir)
+    + real image decode (ppm/bmp/png rows) + real PCM-WAV audio decode
+    (wav rows) as one format-tagged panel."""
+    return (
+        q_multimodal_features(spark, sf_dir)
+        .unionByName(q_media_decode(spark, sf_dir))
+        .unionByName(q_audio_decode(spark, sf_dir))
     )
 
 
@@ -2604,7 +2621,10 @@ SELECT doc_id,
        CAST(NULL AS INT) AS width,
        CAST(NULL AS INT) AS height,
        CAST(NULL AS INT) AS channels,
-       CAST(NULL AS DOUBLE) AS px_mean
+       CAST(NULL AS DOUBLE) AS px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
 FROM documents
 UNION ALL
 SELECT g.doc_id,
@@ -2621,7 +2641,10 @@ SELECT g.doc_id,
        CAST(g.w AS INT) AS width,
        CAST(g.h AS INT) AS height,
        CAST(3 AS INT) AS channels,
-       m.px_mean
+       m.px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
 FROM (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
       FROM documents) g
 JOIN (SELECT doc_id, round(avg(v), 6) AS px_mean
@@ -2629,6 +2652,29 @@ JOIN (SELECT doc_id, round(avg(v), 6) AS px_mean
             FROM (SELECT doc_id, (4 + doc_id % 13) * (3 + doc_id % 7) AS n
                   FROM documents) d
             CROSS JOIN generate_series(0, 143) i(i)
+            WHERE i.i < d.n)
+      GROUP BY doc_id) m USING (doc_id)
+UNION ALL
+SELECT g.doc_id,
+       'wav' AS format,
+       CAST(44 + 2 * g.nf * g.ch AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(g.ch AS INT) AS channels,
+       CAST(NULL AS DOUBLE) AS px_mean,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(g.nf AS INT) AS n_frames,
+       m.amp_mean
+FROM (SELECT doc_id, 50 + doc_id % 37 AS nf, 1 + doc_id % 2 AS ch
+      FROM documents) g
+JOIN (SELECT doc_id, round(avg(v), 6) AS amp_mean
+      FROM (SELECT d.doc_id, (d.doc_id * 37 + i.i) % 251 - 125 AS v
+            FROM (SELECT doc_id,
+                         (50 + doc_id % 37) * (1 + doc_id % 2) AS n
+                  FROM documents) d
+            CROSS JOIN generate_series(0, 171) i(i)
             WHERE i.i < d.n)
       GROUP BY doc_id) m USING (doc_id)
 """

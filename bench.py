@@ -89,6 +89,7 @@ BENCH_QUERIES_EXTRA = [
     # round 5
     "text_embeddings",
     "ann_bruteforce_text",
+    "audio_decode",
 ]
 
 

@@ -11,8 +11,11 @@ and tested, and so is the decode for the two hermetic formats:
   with 4-byte padding; PNG chunk walk + ``zlib`` inflate + full
   scanline unfiltering, all five filter types), emitting (width,
   height, channels, px_mean).
-- Formats that need codec libraries not present in this environment
-  (jpeg/wav/mp4) remain stubbed behind ``decode_media`` →
+- **WAV (RIFF PCM, 16-bit)** is likewise decoded for real (RIFF chunk
+  walk, fmt/data parse, interleaved LE int16 samples), emitting
+  (sample_rate, channels, n_frames, amp_mean) — PCM needs no codec.
+- Formats that genuinely need codec libraries not present in this
+  environment (jpeg/mp4) remain stubbed behind ``decode_media`` →
   ``NotImplementedError``; plug PIL/ffmpeg into ``decode_image`` on a
   real cluster.
 
@@ -42,12 +45,17 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
     T.StructField("px_mean", T.DoubleType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("amp_mean", T.DoubleType()),
 ])
 
 # formats whose decode needs codec libraries absent from this container
-REAL_FORMATS = {"jpeg", "wav", "mp4"}
+REAL_FORMATS = {"jpeg", "mp4"}
 # hermetically decodable image formats (pure-stdlib parse below)
 IMAGE_FORMATS = {"ppm", "bmp", "png"}
+# hermetically decodable audio formats (PCM carries raw samples)
+AUDIO_FORMATS = {"wav"}
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -216,6 +224,53 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     return w, h, 3, sum(px) / len(px)
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """RIFF PCM WAV (16-bit): (sample_rate, channels, n_frames,
+    amp_mean) — pure stdlib; PCM audio carries raw samples, no codec.
+
+    Walks the RIFF chunk list (odd-length chunks are padded to even per
+    the spec), requires a PCM ``fmt `` chunk (audio format 1, 16 bits
+    per sample) before ``data``.  ``amp_mean`` is the mean of the raw
+    interleaved int16 samples across all channels."""
+    import array
+    import sys
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    sample_rate = channels = block_align = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            audio_fmt, channels, sample_rate, _byte_rate, block_align, bits = (
+                struct.unpack_from("<HHIIHH", body)
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("WAV data chunk before fmt")
+            if len(body) != length:
+                raise ValueError("truncated WAV data chunk")
+            if length % block_align:
+                raise ValueError("WAV data not frame-aligned")
+            samples = array.array("h")
+            samples.frombytes(body)
+            if sys.byteorder == "big":  # samples are little-endian
+                samples.byteswap()
+            n_frames = length // block_align
+            return (
+                sample_rate, channels, n_frames,
+                sum(samples) / len(samples),
+            )
+    raise ValueError("WAV missing data chunk")
+
+
 def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
     """Dispatch to the hermetic decoders; real-cluster extension point
     for codec-library formats (PIL/ffmpeg)."""
@@ -302,6 +357,59 @@ def _synth_image(doc_id: int) -> tuple[bytes, str]:
     return payload, "png"
 
 
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic PCM WAV payload for ``doc_id``: canonical 44-byte
+    header + 16-bit LE samples.  n_frames = 50 + id%37, channels =
+    1 + id%2, sample_rate = 8000; interleaved sample j carries
+    ``(doc_id*37 + j) % 251 - 125``.  Every field — including the byte
+    size ``44 + 2*n_frames*channels`` — is a pure function of doc_id, so
+    an oracle recomputes rate/frames/channels/amp_mean without parsing."""
+    n_frames = 50 + doc_id % 37
+    channels = 1 + doc_id % 2
+    sample_rate = 8000
+    n_samples = n_frames * channels
+    data = struct.pack(
+        f"<{n_samples}h",
+        *((doc_id * 37 + j) % 251 - 125 for j in range(n_samples)),
+    )
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * channels * 2, channels * 2, 16,
+        )
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic real PCM-WAV payload to each row — the
+    audio sibling of :func:`synth_image_payloads`, same row shape."""
+    gen_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [_synth_wav(int(d)) for d in ids],
+            })
+
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
+
+
 def synth_image_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic real-image payload (PPM/BMP/PNG cycling on
     id % 3) to each row — the hermetic stand-in for an ingest that
@@ -337,10 +445,11 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     mapInPandas: each batch is a pandas DataFrame; hashing/thumbnailing/
-    image decode happen partition-locally.  Image formats (ppm/bmp) are
-    decoded for real → (width, height, channels, px_mean); non-image
-    formats get the thumbnail path with null image columns.  Output
-    schema is fixed (FEATURE_SCHEMA)."""
+    media decode happen partition-locally.  Image formats (ppm/bmp/png)
+    are decoded for real → (width, height, channels, px_mean); PCM WAV
+    is decoded for real → (sample_rate, channels, n_frames, amp_mean);
+    other formats get the thumbnail path with null media columns.
+    Output schema is fixed (FEATURE_SCHEMA)."""
     import hashlib
 
     def _row(doc_id, fmt, payload):
@@ -354,12 +463,20 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "height": None,
             "channels": None,
             "px_mean": None,
+            "sample_rate": None,
+            "n_frames": None,
+            "amp_mean": None,
         }
         if fmt in IMAGE_FORMATS:
             w, h, ch, mean = decode_image(fmt, payload)
             # raw mean (exact integer-sum / count in float64); callers
             # round engine-side so both engines round identically
             base.update(width=w, height=h, channels=ch, px_mean=mean)
+        elif fmt in AUDIO_FORMATS:
+            rate, ch, frames, mean = decode_wav(payload)
+            base.update(
+                sample_rate=rate, channels=ch, n_frames=frames, amp_mean=mean
+            )
         else:
             base.update(
                 sha256=hashlib.sha256(payload).hexdigest(),

@@ -1258,6 +1258,57 @@ def test_multimodal_codec_formats_still_stubbed():
         decode_image("jpeg", b"\xff\xd8\xff")
 
 
+def test_multimodal_wav_decode_real(spark):
+    """PCM WAV payloads are decoded for REAL in the Arrow batch:
+    sample rate, channel count, frame count, byte size and sample mean
+    match the independent construction formulas (mono and stereo)."""
+    from dp_data_quality_spark.ops import multimodal as MM
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    feats = {
+        r.doc_id: r
+        for r in MM.extract_features(MM.synth_audio_payloads(df)).collect()
+    }
+    for d in range(10):
+        r = feats[d]
+        nf, ch = 50 + d % 37, 1 + d % 2
+        vals = [(d * 37 + j) % 251 - 125 for j in range(nf * ch)]
+        assert r.format == "wav"
+        assert (r.sample_rate, r.channels, r.n_frames) == (8000, ch, nf)
+        assert r.n_bytes == 44 + 2 * nf * ch
+        assert abs(r.amp_mean - sum(vals) / len(vals)) < 1e-9
+        # audio rows: image and thumbnail paths stay null
+        assert r.width is None and r.height is None and r.px_mean is None
+        assert r.sha256 is None and r.thumb is None
+
+
+def test_multimodal_wav_malformed_inputs_raise():
+    import struct
+
+    from dp_data_quality_spark.ops.multimodal import _synth_wav, decode_wav
+
+    good = _synth_wav(3)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    # non-PCM audio format (e.g. IEEE float = 3)
+    non_pcm = bytearray(good)
+    struct.pack_into("<H", non_pcm, 20, 3)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(non_pcm))
+    # data chunk appearing before fmt
+    with pytest.raises(ValueError, match="before fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", 8) + b"WAVE"
+                   + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError, match="truncated WAV data"):
+        decode_wav(good[:-2])
+    # frame-misaligned data length on a stereo (block_align=4) payload
+    stereo = _synth_wav(1)
+    bad = bytearray(stereo)
+    struct.pack_into("<I", bad, 40, struct.unpack_from("<I", bad, 40)[0] - 2)
+    with pytest.raises(ValueError, match="frame-aligned"):
+        decode_wav(bytes(bad[:-2]))
+
+
 def test_multimodal_png_all_filter_types():
     """The PNG unfilterer reverses every scanline filter type (None,
     Sub, Up, Average, Paeth), multi-chunk IDAT included — a decoder that
