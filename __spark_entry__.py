@@ -2601,14 +2601,32 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode in the Arrow batch: deterministic
+    grayscale payloads (``ops.multimodal._synth_jpeg``) parsed by the
+    general marker/Huffman/IDCT decoder (``decode_jpeg``) → (width,
+    height, 1, px_mean).  The synth constrains every block to a
+    constant value with DC quant step 8 and 11-entropy-bits-per-block
+    Huffman tables, so the oracle recomputes dims, BYTE SIZE
+    (140 + ceil(11·nb/8) — no byte stuffing can occur) and the decoded
+    pixel mean (A + 96·⌊nb/2⌋/nb) in closed form without parsing."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.synth_jpeg_payloads(d)).withColumn(
+        "px_mean", F.round("px_mean", 6)
+    )
+
+
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: binary plumbing (utf8-text rows, thumbnail path)
-    + real image decode (ppm/bmp/png rows) + real PCM-WAV audio decode
-    (wav rows) as one format-tagged panel."""
+    + real image decode (ppm/bmp/png rows) + real baseline-JPEG decode
+    (jpeg rows) + real PCM-WAV audio decode (wav rows) as one
+    format-tagged panel."""
     return (
         q_multimodal_features(spark, sf_dir)
         .unionByName(q_media_decode(spark, sf_dir))
         .unionByName(q_audio_decode(spark, sf_dir))
+        .unionByName(q_jpeg_decode(spark, sf_dir))
     )
 
 
@@ -2677,6 +2695,24 @@ JOIN (SELECT doc_id, round(avg(v), 6) AS amp_mean
             CROSS JOIN generate_series(0, 171) i(i)
             WHERE i.i < d.n)
       GROUP BY doc_id) m USING (doc_id)
+UNION ALL
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(140 + (11 * g.nb + 7) // 8 AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       round(40 + doc_id % 24 + 96.0 * (g.nb // 2) / g.nb, 6) AS px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
+FROM (SELECT doc_id,
+             8 * (1 + doc_id % 3) AS w,
+             8 * (1 + doc_id % 2) AS h,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents) g
 """
 
 

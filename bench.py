@@ -90,6 +90,7 @@ BENCH_QUERIES_EXTRA = [
     "text_embeddings",
     "ann_bruteforce_text",
     "audio_decode",
+    "jpeg_decode",
 ]
 
 

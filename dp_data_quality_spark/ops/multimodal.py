@@ -14,9 +14,14 @@ and tested, and so is the decode for the two hermetic formats:
 - **WAV (RIFF PCM, 16-bit)** is likewise decoded for real (RIFF chunk
   walk, fmt/data parse, interleaved LE int16 samples), emitting
   (sample_rate, channels, n_frames, amp_mean) — PCM needs no codec.
-- Formats that genuinely need codec libraries not present in this
-  environment (jpeg/mp4) remain stubbed behind ``decode_media`` →
-  ``NotImplementedError``; plug PIL/ffmpeg into ``decode_image`` on a
+- **JPEG (baseline DCT, grayscale)** is decoded for real too: marker
+  walk, canonical Huffman tables from DHT, 0xFF00 byte-unstuffing, DC
+  prediction, run-length AC, dequantization and a full 8×8 IDCT
+  (numpy) — see :func:`decode_jpeg`.  Chroma-subsampled color and
+  progressive variants raise (plug PIL in on a real cluster).
+- The one format that genuinely needs codec libraries not present in
+  this environment (mp4) remains stubbed behind ``decode_media`` →
+  ``NotImplementedError``; plug ffmpeg into the extension point on a
   real cluster.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched,
@@ -51,9 +56,9 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 # formats whose decode needs codec libraries absent from this container
-REAL_FORMATS = {"jpeg", "mp4"}
-# hermetically decodable image formats (pure-stdlib parse below)
-IMAGE_FORMATS = {"ppm", "bmp", "png"}
+REAL_FORMATS = {"mp4"}
+# hermetically decodable image formats (pure-stdlib + numpy parse below)
+IMAGE_FORMATS = {"ppm", "bmp", "png", "jpeg"}
 # hermetically decodable audio formats (PCM carries raw samples)
 AUDIO_FORMATS = {"wav"}
 
@@ -271,6 +276,209 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
     raise ValueError("WAV missing data chunk")
 
 
+# --- baseline JPEG (grayscale) decoder ------------------------------------
+
+# zigzag scan order: position k in the entropy stream → natural
+# (row-major) coefficient index (ITU T.81 figure 5)
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+class _BitReader:
+    """MSB-first bit reader over the un-stuffed entropy stream."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_table(bits: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman table from a DHT segment: ``bits[i]`` codes of
+    length i+1, symbols in code order → {(length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    """Signed-magnitude extension (T.81 F.2.2.1): the ``size`` raw bits
+    encode value v if the leading bit is 1, else v - 2^size + 1."""
+    if size == 0:
+        return 0
+    return v if v >= 1 << (size - 1) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """Baseline (SOF0) grayscale JPEG: (width, height, 1, px_mean) —
+    a real general decoder, not one hardcoded to this module's synth
+    payloads: marker walk (APPn/COM skipped), 8-bit DQT tables,
+    canonical Huffman tables from DHT, 0xFF00 byte-unstuffing, DC
+    prediction, run-length AC with ZRL/EOB, dequantization and an exact
+    8×8 float64 IDCT (numpy).  Color (multi-component), progressive
+    (SOF2) and restart-interval streams raise — those are the variants
+    where a real cluster plugs in PIL at ``decode_image``.
+
+    DC-only blocks round-trip bit-exactly (the IDCT of a pure-DC block
+    is DC/8 + 128 with no trigonometric terms), which is what lets
+    :func:`_synth_jpeg` ship payloads whose decoded pixel mean is a
+    closed-form function of doc_id for the DuckDB oracle."""
+    import math
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    w = h = qtab_id = None
+    scan_data = None
+    dc_id = ac_id = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT — a segment may hold several tables
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                qt[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "only grayscale baseline JPEG is decoded hermetically; "
+                    "color JPEG needs a codec library (PIL) on a real cluster"
+                )
+            if seg[7] != 0x11:  # component: id(1) sampling(1) tq(1)
+                raise ValueError("subsampled JPEG not supported")
+            qtab_id = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("only baseline (SOF0) JPEG is supported")
+        elif marker == 0xC4:  # DHT — may hold several tables
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                symbols = list(seg[i + 17 : i + 17 + n])
+                i += 17 + n
+                (dc_tables if tc == 0 else ac_tables)[th] = _huff_table(
+                    bits, symbols)
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS; entropy-coded data follows
+            if seg[0] != 1:
+                raise ValueError("scan component count != 1")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            data = bytearray()
+            j = pos
+            while j < len(payload):
+                b = payload[j]
+                if b == 0xFF:
+                    nxt = payload[j + 1] if j + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:  # stuffed literal 0xFF
+                        data.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError(
+                            "JPEG restart markers not supported")
+                    break  # EOI / next marker ends the scan
+                data.append(b)
+                j += 1
+            scan_data = bytes(data)
+            break
+        # APPn / COM / other segments: skipped
+    if w is None or scan_data is None or qtab_id is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    if qtab_id not in qt or dc_id not in dc_tables or ac_id not in ac_tables:
+        raise ValueError("JPEG scan references undefined tables")
+
+    # IDCT basis: M[u, x] = C(u)·cos((2x+1)uπ/16)/2, spatial = Mᵀ·S·M
+    xs = np.arange(8)
+    basis = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    basis[0, :] = 1 / (2 * math.sqrt(2))
+    q = np.asarray(qt[qtab_id], dtype=np.float64)
+    dct, act = dc_tables[dc_id], ac_tables[ac_id]
+
+    reader = _BitReader(scan_data)
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((by * 8, bx * 8))
+    pred = 0
+    for blk in range(bx * by):
+        coef = np.zeros(64)
+        cat = _huff_decode(reader, dct)
+        pred += _extend(reader.read_bits(cat), cat)
+        coef[0] = pred * q[0]
+        k = 0
+        while k < 63:
+            sym = _huff_decode(reader, act)
+            if sym == 0x00:  # EOB — rest of the block is zero
+                break
+            if sym == 0xF0:  # ZRL — sixteen zeros
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 15
+            k += run + 1
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            coef[_ZIGZAG[k]] = _extend(reader.read_bits(size), size) * q[k]
+        spatial = basis.T @ coef.reshape(8, 8) @ basis + 128
+        y0, x0 = (blk // bx) * 8, (blk % bx) * 8
+        img[y0 : y0 + 8, x0 : x0 + 8] = spatial
+    img = np.clip(np.rint(img[:h, :w]), 0, 255)
+    return w, h, 1, float(img.mean())
+
+
 def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
     """Dispatch to the hermetic decoders; real-cluster extension point
     for codec-library formats (PIL/ffmpeg)."""
@@ -280,6 +488,8 @@ def decode_image(fmt: str, payload: bytes) -> tuple[int, int, int, float]:
         return decode_bmp(payload)
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"decode for {fmt!r} requires media libraries not present in "
         "this container; plug in PIL/ffmpeg here on a real cluster"
@@ -381,6 +591,78 @@ def _synth_wav(doc_id: int) -> bytes:
         + b"data" + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+def _synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic REAL baseline-JPEG payload for ``doc_id``, built so
+    every decoded field is a closed-form function of doc_id:
+
+    - dims w = 8·(1 + id%3), h = 8·(1 + id%2) — whole 8×8 blocks;
+    - every block is CONSTANT, alternating A = 40 + id%24 and A+96 in
+      raster order — only the DC coefficient is nonzero, and with the
+      DC quant step 8 the coded DC is exactly v−128, so the decode
+      round-trips bit-exactly and px_mean = A + 96·⌊nb/2⌋/nb (an
+      integer for every reachable nb ∈ {1,2,3,4,6});
+    - successive DC diffs are always magnitude-category 7 (first block
+      A−128 ∈ [−88,−65], then ±96), and the embedded canonical Huffman
+      tables give the DC category a 3-bit code and EOB a 1-bit code, so
+      every block is exactly 3+7+1 = 11 entropy bits and no bit pattern
+      can form a 0xFF byte (no byte stuffing) — the total byte size is
+      the closed form ``140 + ceil(11·nb/8)`` the oracle recomputes.
+    """
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    nb = (w // 8) * (h // 8)
+    a = 40 + doc_id % 24
+
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([8] + [16] * 63)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
+    dc_bits = bytes(2) + b"\x01" + bytes(13)  # one 3-bit code
+    dht_dc = b"\xff\xc4" + struct.pack(">HB", 20, 0x00) + dc_bits + bytes([7])
+    ac_bits = b"\x01" + bytes(15)  # one 1-bit code
+    dht_ac = b"\xff\xc4" + struct.pack(">HB", 20, 0x10) + ac_bits + bytes([0x00])
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+
+    bits = []
+    pred = 0
+    for b in range(nb):
+        dc = (a + 96 * (b % 2)) - 128
+        diff = dc - pred
+        pred = dc
+        mag = diff if diff > 0 else diff + 127  # category-7 raw bits
+        bits.append("000" + format(mag, "07b") + "0")  # DC code+mag, EOB
+    s = "".join(bits)
+    s += "1" * (-len(s) % 8)  # pad final byte with 1s per T.81
+    entropy = int(s, 2).to_bytes(len(s) // 8, "big")
+    return (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos
+            + entropy + b"\xff\xd9")
+
+
+def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic real baseline-JPEG payload to each row —
+    same row shape as :func:`synth_image_payloads`."""
+    gen_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [_synth_jpeg(int(d)) for d in ids],
+            })
+
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
 
 
 def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

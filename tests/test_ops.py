@@ -378,7 +378,7 @@ def test_multimodal_real_decode_stubbed():
     from dp_data_quality_spark.ops.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
-        decode_media("jpeg", b"\xff\xd8\xff")
+        decode_media("mp4", b"\x00\x00\x00\x18ftypmp42")
 
 
 # --- sources: json flatten ----------------------------------------------
@@ -1252,10 +1252,128 @@ def test_multimodal_bmp_padding_and_orientation():
 
 
 def test_multimodal_codec_formats_still_stubbed():
+    """mp4 is the one remaining env-bound codec stub; unknown formats
+    also route to the documented extension point."""
     from dp_data_quality_spark.ops.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image("jpeg", b"\xff\xd8\xff")
+        decode_image("mp4", b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_multimodal_jpeg_synth_roundtrip():
+    """The deterministic baseline-JPEG payloads decode bit-exactly and
+    every decoded/derived field matches its closed-form formula
+    (the DuckDB oracle's recomputation)."""
+    from dp_data_quality_spark.ops.multimodal import _synth_jpeg, decode_jpeg
+
+    for d in range(40):
+        p = _synth_jpeg(d)
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        nb = (w // 8) * (h // 8)
+        a = 40 + d % 24
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        assert len(p) == 140 + (11 * nb + 7) // 8
+        assert 0xFF not in p[138:-2]  # stuffing-free by construction
+        gw, gh, ch, mean = decode_jpeg(p)
+        assert (gw, gh, ch) == (w, h, 1)
+        assert mean == a + 96 * (nb // 2) / nb  # exact, not approximate
+
+
+def test_multimodal_jpeg_general_decode():
+    """decode_jpeg is a GENERAL baseline-grayscale decoder, not one
+    hardcoded to the synth payloads: a hand-assembled JPEG with
+    multi-category Huffman tables, nonzero AC coefficients (run-length
+    + ZRL), 0xFF00 byte stuffing, and a skipped APP0 segment decodes to
+    the pixels an independent direct-cosine IDCT predicts."""
+    import math
+    import struct as _s
+
+    import numpy as np
+
+    from dp_data_quality_spark.ops.multimodal import _ZIGZAG, decode_jpeg
+
+    w = h = 8
+    quant = [6] + [10] * 63  # zigzag order
+    # DC table: categories 0..11 at code length 4 (canonical 0000..1011)
+    dc_bits = bytes(3) + b"\x0c" + bytes(12)
+    dc_syms = bytes(range(12))
+    # AC table: EOB,0x01 at len 2 (00,01); 0x11,0xF0,0x1B at len 3
+    ac_bits = b"\x00\x02\x03" + bytes(13)
+    ac_syms = bytes([0x00, 0x01, 0x11, 0xF0, 0x1B])
+    code = {"dc": {c: format(c, "04b") for c in range(12)},
+            "EOB": "00", "0x01": "01", "0x11": "100", "0xF0": "101",
+            "0x1B": "110"}
+
+    # quantized coefficients (zigzag positions); the DC code 1011 + eleven
+    # magnitude 1-bits + the 0x11 code's leading 1 make byte 1 = 0xFF,
+    # forcing the stuffing path
+    dc_val = 2047  # category 11
+    ac = {2: 1, 4: -1, 22: -1500}  # pos 22: after ZRL, run 1, size 11 (0x1B)
+    bits = (code["dc"][11] + format(dc_val, "011b")
+            + code["0x11"] + "1"            # run 1 → pos 2: +1
+            + code["0x11"] + "0"            # run 1 → pos 4: −1 (raw bit 0)
+            + code["0xF0"]                   # ZRL: pos 5..20 zero
+            + code["0x1B"] + format(-1500 + (1 << 11) - 1, "011b")
+            + code["EOB"])
+    bits += "1" * (-len(bits) % 8)
+    raw = int(bits, 2).to_bytes(len(bits) // 8, "big")
+    assert 0xFF in raw  # the stuffing path is actually exercised
+    entropy = raw.replace(b"\xff", b"\xff\x00")
+
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 7) + b"JFIF\x00"  # APPn: skipped
+        + b"\xff\xdb" + _s.pack(">HB", 67, 0) + bytes(quant)
+        + b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
+        + b"\xff\xc4" + _s.pack(">HB", 2 + 1 + 16 + 12, 0x00) + dc_bits + dc_syms
+        + b"\xff\xc4" + _s.pack(">HB", 2 + 1 + 16 + 5, 0x10) + ac_bits + ac_syms
+        + b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+        + entropy + b"\xff\xd9"
+    )
+
+    # independent IDCT: direct cosine double sum over dequantized coefs
+    coef = np.zeros(64)
+    coef[0] = dc_val * quant[0]
+    for k, v in ac.items():
+        coef[_ZIGZAG[k]] = v * quant[k]
+    S = coef.reshape(8, 8)
+    c = lambda u: 1 / math.sqrt(2) if u == 0 else 1.0
+    expected = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = sum(
+                c(u) * c(v) * S[v, u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for u in range(8) for v in range(8)
+            )
+            expected[y, x] = min(255, max(0, round(s / 4 + 128)))
+
+    gw, gh, ch, mean = decode_jpeg(payload)
+    assert (gw, gh, ch) == (8, 8, 1)
+    assert abs(mean - expected.mean()) < 1e-9
+
+
+def test_multimodal_jpeg_unsupported_variants_raise():
+    """Color / progressive / restart-interval JPEG routes to the codec
+    extension point with a clear error instead of mis-decoding."""
+    import struct as _s
+
+    from dp_data_quality_spark.ops.multimodal import decode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG")
+    # progressive (SOF2)
+    sof2 = (b"\xff\xd8" + b"\xff\xc2"
+            + _s.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof2)
+    # 3-component (color)
+    sof_color = (b"\xff\xd8" + b"\xff\xc0"
+                 + _s.pack(">HBHHB", 17, 8, 8, 8, 3)
+                 + bytes((1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(sof_color)
 
 
 def test_multimodal_wav_decode_real(spark):
