@@ -2904,13 +2904,34 @@ def _sql_frequent_values_panel() -> str:
     )
 
 
+def q_profile_quantiles_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-refine EXACT quantiles
+    (``ops.profiling.profile_quantiles_dist``) — same values as
+    ``q_profile_quantiles`` (identical interpolation arithmetic) from a
+    plan with no full-column single-task sort: GK brackets → literal
+    rank offsets → per-(column, p) windows over the tiny bracket slice.
+    accuracy=1000 < sf0.01 lineitem rows so the driver gate exercises
+    the sketch-bracket branch, not the small-n min/max fallback."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.profiling import profile_quantiles_dist
+
+    return profile_quantiles_dist(
+        _t(spark, sf_dir, "lineitem"), QUANTILE_COLS, accuracy=1000
+    )
+
+
 def q_profile_quantiles_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (linear-interpolation) + GK-sketch (element-selecting)
-    quartiles as one tagged panel; each side keeps its own oracle."""
+    """Exact (linear-interpolation) + GK-sketch (element-selecting) +
+    distributed-exact (sketch-then-refine, same values as exact from a
+    scale-safe plan) quartiles as one tagged panel; each side keeps its
+    own oracle."""
     ex = q_profile_quantiles(spark, sf_dir)
     ap = q_profile_quantiles_approx(spark, sf_dir)
-    return ex.select(F.lit("exact").alias("method"), "*").unionByName(
-        ap.select(F.lit("sketch").alias("method"), "*")
+    dist = q_profile_quantiles_dist(spark, sf_dir)
+    return (
+        ex.select(F.lit("exact").alias("method"), "*")
+        .unionByName(ap.select(F.lit("sketch").alias("method"), "*"))
+        .unionByName(dist.select(F.lit("dist").alias("method"), "*"))
     )
 
 
@@ -2918,7 +2939,11 @@ def _sql_profile_quantiles_panel() -> str:
     return (
         f"SELECT 'exact' AS method, * FROM ({_sql_profile_quantiles()})\n"
         f"UNION ALL\n"
-        f"SELECT 'sketch' AS method, * FROM ({_sql_profile_quantiles_approx()})"
+        f"SELECT 'sketch' AS method, * FROM ({_sql_profile_quantiles_approx()})\n"
+        f"UNION ALL\n"
+        # the dist path must reproduce quantile_cont EXACTLY — same
+        # oracle SQL as the exact tag, different Spark plan
+        f"SELECT 'dist' AS method, * FROM ({_sql_profile_quantiles()})"
     )
 
 

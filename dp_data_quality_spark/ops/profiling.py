@@ -140,6 +140,155 @@ def profile_quantiles(
     return flanks.select("col_name", *outs)
 
 
+def profile_quantiles_dist(
+    df: DataFrame,
+    columns: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """EXACT linear-interpolation quantiles with NO full-column sort —
+    the sketch-then-refine path that makes exact quantiles viable at
+    10⁹+ rows per column, closing the one deliberate weak-at-scale plan
+    (:func:`profile_quantiles`'s per-column single-task window sort).
+
+    Identical output (schema AND values, same ``lo + frac·(hi-lo)``
+    IEEE arithmetic) to :func:`profile_quantiles`; what changes is the
+    plan:
+
+    1. **Sketch pass**: one grouped aggregation builds a Greenwald-
+       Khanna sketch per column and queries it at p ± 4/accuracy —
+       element values that BRACKET each target rank (GK rank error is
+       ≤ n/accuracy, so for n ≥ accuracy the true flank ranks
+       k = ⌊(n−1)p⌋+1 and k+1 provably fall inside the bracket; for
+       n < accuracy the bracket widens to [min, max], where sorting
+       all n values is trivially cheap anyway).
+    2. The per-column (n, lo, hi) bracket rows are collected — a
+       BOUNDED driver collect (|columns| rows, same class as the
+       k-means centroids) — so target ranks, rank offsets and
+       interpolation fractions become literals, and the refine pass
+       filters PUSH DOWN to the scan.
+    3. **Refine pass A**: one conditional aggregation counts, per
+       (column, p), the values strictly below the bracket — the global
+       rank offset.  No shuffle beyond a 1-row aggregate.
+    4. **Refine pass B**: one scan keeps only bracket rows
+       (≈ 8·n/accuracy per (column, p) — e.g. ~80 k rows per quantile
+       at n = 10⁸, accuracy 10⁴), ranks them in per-(column, p)
+       windows over that TINY slice, keeps the two flank rows, and
+       interpolates with the literal fraction.
+
+    Three column-pruned scans in place of a single-task sort of the
+    whole column: at 100 TB the scans are embarrassingly parallel while
+    the sort is a straight driver-of-one-task OOM.  Rank bookkeeping is
+    duplicate-safe: the offset counts ``value < lo`` strictly and the
+    bracket keeps ``value ≥ lo``, so ties at the bracket edge are
+    counted exactly once."""
+    eps = 4.0 / accuracy
+    bounds: list[float] = []
+    for p in probs:
+        bounds += [max(0.0, p - eps), min(1.0, p + eps)]
+
+    lf = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"`{c}`").cast("double").alias("value"),
+            )
+            for c in columns
+        ])).alias("e")
+    ).select("e.col_name", "e.value").filter(F.col("value").isNotNull())
+
+    # pass 1: per-column GK sketch queried at the bracket probabilities
+    sketch = lf.groupBy("col_name").agg(
+        F.count("value").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.percentile_approx("value", bounds, accuracy).alias("br"),
+    ).collect()  # bounded: one row per profiled column
+
+    info: dict[str, dict] = {}
+    for row in sketch:
+        if row["n"] == 0:
+            continue
+        n = row["n"]
+        per_p = {}
+        for j, p in enumerate(probs):
+            # small n: GK bounds are not guaranteed — widen to the
+            # whole column (still tiny by definition of this branch)
+            lo = row["br"][2 * j] if n >= accuracy else row["mn"]
+            hi = row["br"][2 * j + 1] if n >= accuracy else row["mx"]
+            pos = (n - 1) * p
+            per_p[p] = {"lo": lo, "hi": hi, "pos": pos,
+                        "k": int(pos) + 1}
+            assert lo <= hi
+        info[row["col_name"]] = per_p
+    if not info:
+        return profile_quantiles(df, columns, probs)  # all-null input
+
+    # pass 2 (refine A): global rank offsets — count(value < lo) per
+    # (column, p) as one conditional aggregation, all literals
+    off_aggs = []
+    for c, per_p in info.items():
+        for p in per_p:
+            off_aggs.append(
+                F.count(F.when(
+                    (F.col("col_name") == c)
+                    & (F.col("value") < F.lit(per_p[p]["lo"])), 1,
+                )).alias(f"__off_{c}_{int(p * 100)}")
+            )
+    offs = lf.agg(*off_aggs).collect()[0]  # bounded: columns × probs ints
+    for c, per_p in info.items():
+        for p, d in per_p.items():
+            d["off"] = offs[f"__off_{c}_{int(p * 100)}"]
+
+    # pass 3 (refine B): bracket rows only (filter pushes down), local
+    # ranks inside per-(column, p) windows over the tiny slice
+    from pyspark.sql import Window
+
+    tag_structs = [
+        F.when(
+            (F.col("col_name") == c)
+            & (F.col("value") >= F.lit(d["lo"]))
+            & (F.col("value") <= F.lit(d["hi"])),
+            F.struct(
+                F.lit(f"q_{int(p * 100)}").alias("tag"),
+                F.lit(d["k"] - d["off"]).alias("k_lo"),
+                F.lit(d["k"] + 1 - d["off"]).alias("k_hi"),
+            ),
+        )
+        for c, per_p in info.items()
+        for p, d in per_p.items()
+    ]
+    brkt = (
+        lf.select("col_name", "value",
+                  F.explode(F.array(*tag_structs)).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .select("col_name", "value", "t.tag", "t.k_lo", "t.k_hi")
+    )
+    w = Window.partitionBy("col_name", "tag").orderBy("value")
+    ranked = brkt.withColumn("rn", F.row_number().over(w))
+    flanks = ranked.groupBy("col_name", "tag").agg(
+        F.max(F.when(F.col("rn") == F.col("k_lo"), F.col("value"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("k_hi"), F.col("value"))).alias("hi"),
+    )
+
+    # literal interpolation fractions, identical arithmetic to
+    # profile_quantiles: round(lo + frac·(hi−lo), 6) at frac = pos−⌊pos⌋
+    outs = []
+    for p in probs:
+        tag = f"q_{int(p * 100)}"
+        frac_map = F.create_map(*[
+            x
+            for c, per_p in info.items() if p in per_p
+            for x in (F.lit(c),
+                      F.lit(per_p[p]["pos"] - float(int(per_p[p]["pos"]))))
+        ])
+        lo = F.max(F.when(F.col("tag") == tag, F.col("lo")))
+        hi = F.coalesce(F.max(F.when(F.col("tag") == tag, F.col("hi"))), lo)
+        frac = frac_map[F.col("col_name")]
+        outs.append(F.round(lo + frac * (hi - lo), 6).alias(tag))
+    return flanks.groupBy("col_name").agg(*outs)
+
+
 def profile_quantiles_approx(
     df: DataFrame,
     columns: list[str],
