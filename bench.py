@@ -91,6 +91,7 @@ BENCH_QUERIES_EXTRA = [
     "ann_bruteforce_text",
     "audio_decode",
     "jpeg_decode",
+    "profile_quantiles_dist",
 ]
 
 
