@@ -168,12 +168,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pipeline-only", action="store_true")
     ap.add_argument("--convs", type=int, default=100_000)
-    # 4 reps: rep 0 pays JIT + code-path warmup (the noop scoring warmup
-    # boots Python workers but not the parquet-write path), so min-of-4
-    # guarantees ≥3 steady-state samples; identical code measured
-    # 151k..261k turns/s across invocations under min-of-3 when rep 1
-    # absorbed staging writeback — see docs/PERF.md
-    ap.add_argument("--reps", type=int, default=4)
+    # 6 reps: rep 0 pays JIT + code-path warmup (the noop scoring warmup
+    # boots Python workers but not the parquet-write path), so min-of-6
+    # guarantees ≥5 steady-state samples.  The extra reps are noise
+    # armor, not precision: the shared host intermittently steals whole
+    # multi-second windows (a single rep measured 30 s on one draw vs
+    # 5.7 s quiet-box on identical code the same hour — docs/PERF.md),
+    # and each additional steady-state rep is another chance to land in
+    # a quiet window, at ~6 s/rep cost.
+    ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
