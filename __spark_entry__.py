@@ -2458,6 +2458,60 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_ivf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path end-to-end FROM TEXT: documents.text → in-engine
+    hashed n-gram embeddings → IVF inverted lists (16 sampled
+    centroids, 2 probes) → top-10.  With ``bruteforce_text`` proving
+    the embed stage exactly, this tag proves the full
+    text→embed→index→probe chain a 100-TB similarity deployment runs —
+    each query scans ~n_probe/n_centroids of the corpus, never all of
+    it."""
+    emb = q_text_embeddings(spark, sf_dir)
+    return SIM.ivf_ann_topk(
+        emb, emb.filter(F.col("doc_id") < 5),
+        k=10, n_centroids=16, n_probe=2, id_col="doc_id",
+    )
+
+
+def _sql_ann_ivf_text() -> str:
+    c_cos = SIM.sql_cosine("v.embedding", "c.cent_emb")
+    q_cos = SIM.sql_cosine("q.embedding", "c.cent_emb")
+    sim = SIM.sql_cosine("qa.q_emb", "ca.c_emb")
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+emb AS ({_sql_doc_embeddings()}),
+cents AS (
+  SELECT doc_id AS cent_id, embedding AS cent_emb FROM emb WHERE doc_id < 16
+),
+corpus_assign AS (
+  SELECT neighbor_id, c_emb, cent_id FROM (
+    SELECT v.doc_id AS neighbor_id, v.embedding AS c_emb, c.cent_id,
+           row_number() OVER (PARTITION BY v.doc_id ORDER BY {c_cos} DESC, c.cent_id ASC) AS crank
+    FROM emb v CROSS JOIN cents c
+  ) WHERE crank <= 1
+),
+query_assign AS (
+  SELECT query_id, q_emb, cent_id FROM (
+    SELECT q.doc_id AS query_id, q.embedding AS q_emb, c.cent_id,
+           row_number() OVER (PARTITION BY q.doc_id ORDER BY {q_cos} DESC, c.cent_id ASC) AS crank
+    FROM (SELECT * FROM emb WHERE doc_id < 5) q CROSS JOIN cents c
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {sim} AS sim
+  FROM corpus_assign ca JOIN query_assign qa ON ca.cent_id = qa.cent_id
+  WHERE ca.neighbor_id <> qa.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persistent-IVF-index probe (``ops.ann_index``): the index is BUILT
     (k-means quantizer + inverted lists partitioned by cent_id) and
@@ -2852,18 +2906,20 @@ def _sql_transcripts_pipeline() -> str:
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All five ANN strategies — brute-force ground truth, LSH
+    """All six ANN strategies — brute-force ground truth, LSH
     multi-probe, IVF with sampled centroids, IVF with k-means-trained
-    centroids (over the embeddings table), and brute-force over
-    IN-ENGINE text embeddings (documents.text → hashed n-gram vectors →
-    top-k, no pre-supplied vectors anywhere) — as one method-tagged
-    top-k panel."""
+    centroids (over the embeddings table), and the two FROM-TEXT
+    variants over IN-ENGINE embeddings (documents.text → hashed n-gram
+    vectors, no pre-supplied vectors anywhere): brute-force (exact
+    stage proof) and IVF (the scale path, text→embed→index→probe) —
+    as one method-tagged top-k panel."""
     parts = [
         ("bruteforce", q_ann_bruteforce),
         ("lsh", q_ann_lsh),
         ("ivf", q_ann_ivf),
         ("ivf_kmeans", q_ann_ivf_kmeans),
         ("bruteforce_text", q_ann_bruteforce_text),
+        ("ivf_text", q_ann_ivf_text),
     ]
     out = None
     for m, fn in parts:
@@ -2879,6 +2935,7 @@ def _sql_ann_methods() -> str:
         ("ivf", _sql_ann_ivf()),
         ("ivf_kmeans", _sql_ann_ivf_kmeans()),
         ("bruteforce_text", _sql_ann_bruteforce_text()),
+        ("ivf_text", _sql_ann_ivf_text()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, * FROM ({sql})" for m, sql in parts

@@ -89,6 +89,7 @@ BENCH_QUERIES_EXTRA = [
     # round 5
     "text_embeddings",
     "ann_bruteforce_text",
+    "ann_ivf_text",
     "audio_decode",
     "jpeg_decode",
     "profile_quantiles_dist",
