@@ -2671,16 +2671,32 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hermetic MP4 CONTAINER metadata in the Arrow batch: deterministic
+    ISO BMFF payloads (``ops.multimodal._synth_mp4``) parsed by the
+    general box-walk parser (``decode_mp4_meta``) → (width, height,
+    channels from stsd depth, n_frames from stsz).  The synth makes
+    every field closed-form — dims 16·(1+id%4)×16·(1+id%3), frames
+    1+id%8, byte size 587 + 36·frames — so the oracle recomputes them
+    without parsing.  Frame decode (px_mean) stays NULL: the compressed
+    bitstream genuinely needs a codec (the decode_media extension
+    point)."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.synth_mp4_payloads(d))
+
+
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: binary plumbing (utf8-text rows, thumbnail path)
     + real image decode (ppm/bmp/png rows) + real baseline-JPEG decode
-    (jpeg rows) + real PCM-WAV audio decode (wav rows) as one
-    format-tagged panel."""
+    (jpeg rows) + real PCM-WAV audio decode (wav rows) + hermetic MP4
+    container metadata (mp4 rows) as one format-tagged panel."""
     return (
         q_multimodal_features(spark, sf_dir)
         .unionByName(q_media_decode(spark, sf_dir))
         .unionByName(q_audio_decode(spark, sf_dir))
         .unionByName(q_jpeg_decode(spark, sf_dir))
+        .unionByName(q_video_meta(spark, sf_dir))
     )
 
 
@@ -2766,6 +2782,24 @@ FROM (SELECT doc_id,
              8 * (1 + doc_id % 3) AS w,
              8 * (1 + doc_id % 2) AS h,
              (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents) g
+UNION ALL
+SELECT doc_id,
+       'mp4' AS format,
+       CAST(587 + 36 * g.nf AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(g.w AS INT) AS width,
+       CAST(g.h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(NULL AS DOUBLE) AS px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(g.nf AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
+FROM (SELECT doc_id,
+             16 * (1 + doc_id % 4) AS w,
+             16 * (1 + doc_id % 3) AS h,
+             1 + doc_id % 8 AS nf
       FROM documents) g
 """
 

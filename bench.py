@@ -93,6 +93,7 @@ BENCH_QUERIES_EXTRA = [
     "audio_decode",
     "jpeg_decode",
     "profile_quantiles_dist",
+    "video_meta",
 ]
 
 

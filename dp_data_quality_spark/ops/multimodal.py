@@ -19,10 +19,13 @@ and tested, and so is the decode for the two hermetic formats:
   prediction, run-length AC, dequantization and a full 8×8 IDCT
   (numpy) — see :func:`decode_jpeg`.  Chroma-subsampled color and
   progressive variants raise (plug PIL in on a real cluster).
-- The one format that genuinely needs codec libraries not present in
-  this environment (mp4) remains stubbed behind ``decode_media`` →
-  ``NotImplementedError``; plug ffmpeg into the extension point on a
-  real cluster.
+- **MP4 container metadata** is parsed hermetically too (ISO BMFF box
+  walk: tkhd dims, stsd depth → channels, stsz sample count → frames;
+  see :func:`decode_mp4_meta`) — container grammar needs no codec.
+  Only FRAME decode (the actual compressed video bitstream) genuinely
+  needs codec libraries not present in this environment; it remains
+  stubbed behind ``decode_media`` → ``NotImplementedError`` — plug
+  ffmpeg into the extension point on a real cluster.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched,
 partition-local, no shuffle); binary payloads never pass through the
@@ -55,12 +58,16 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("amp_mean", T.DoubleType()),
 ])
 
-# formats whose decode needs codec libraries absent from this container
+# formats whose FRAME decode needs codec libraries absent from this
+# container (container METADATA is still parsed hermetically — see
+# decode_mp4_meta)
 REAL_FORMATS = {"mp4"}
 # hermetically decodable image formats (pure-stdlib + numpy parse below)
 IMAGE_FORMATS = {"ppm", "bmp", "png", "jpeg"}
 # hermetically decodable audio formats (PCM carries raw samples)
 AUDIO_FORMATS = {"wav"}
+# container formats: metadata hermetic (box walk), frame decode env-bound
+VIDEO_FORMATS = {"mp4"}
 
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -510,6 +517,92 @@ def decode_media(fmt: str, payload: bytes) -> bytes:
     return payload[:16]
 
 
+# --- MP4 container metadata (ISO BMFF box walk — no codec needed) ---------
+
+# boxes whose payload is itself a sequence of boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO BMFF box in
+    payload[start:end].  Handles size==0 (box extends to end); 64-bit
+    largesize boxes raise (nothing this parser needs exceeds 4 GiB)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4 : pos + 8]
+        if size == 1:
+            raise NotImplementedError("64-bit MP4 box sizes not supported")
+        if size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def _mp4_find(payload: bytes, start: int, end: int, path: list[bytes]):
+    """Walk the box tree along ``path`` and return the (body_start,
+    body_end) of the first box matching the full path, else None."""
+    head, rest = path[0], path[1:]
+    for btype, b0, b1 in _mp4_boxes(payload, start, end):
+        if btype != head:
+            continue
+        if not rest:
+            return b0, b1
+        found = _mp4_find(payload, b0, b1, rest)
+        if found is not None:
+            return found
+    return None
+
+
+def decode_mp4_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """MP4 CONTAINER metadata: (width, height, channels, n_frames) from
+    a pure-stdlib ISO BMFF box walk — tkhd carries the presentation
+    dims (16.16 fixed point), the stsd visual sample entry carries the
+    pixel depth (channels = depth/8), and stsz carries the sample
+    count.  No codec anywhere: container grammar is plain struct
+    parsing, which is why video METADATA extraction is hermetic while
+    frame decode (the ``decode_media`` extension point) genuinely needs
+    ffmpeg.  Unknown/extra boxes are skipped per the ISO rule; a
+    missing moov/trak raises."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (missing ftyp)")
+    n = len(payload)
+    tkhd = _mp4_find(payload, 0, n, [b"moov", b"trak", b"tkhd"])
+    if tkhd is None:
+        raise ValueError("MP4 missing moov/trak/tkhd")
+    t0, _t1 = tkhd
+    version = payload[t0]
+    # v0: 4 flags+version, 4 ctime, 4 mtime, 4 track_id, 4 reserved,
+    # 4 duration, 8 reserved, 2+2+2+2 layer/group/volume/reserved,
+    # 36 matrix → width/height at offset 4+20+8+8+36 = 76 (v1: +12)
+    off = t0 + (76 if version == 0 else 88)
+    w_fp, h_fp = struct.unpack_from(">II", payload, off)
+    width, height = w_fp >> 16, h_fp >> 16
+
+    stsz = _mp4_find(payload, 0, n, [b"moov", b"trak", b"mdia", b"minf",
+                                     b"stbl", b"stsz"])
+    if stsz is None:
+        raise ValueError("MP4 missing stbl/stsz")
+    _flags, _sample_size, n_frames = struct.unpack_from(">III", payload, stsz[0])
+
+    channels = None
+    stsd = _mp4_find(payload, 0, n, [b"moov", b"trak", b"mdia", b"minf",
+                                     b"stbl", b"stsd"])
+    if stsd is not None:
+        s0, s1 = stsd
+        # version/flags(4) + entry_count(4), then the first sample entry;
+        # a visual sample entry's depth sits 8+16+16+4+8+4+2+32 = 82
+        # bytes into the entry
+        entry0 = s0 + 8
+        if entry0 + 84 <= s1:
+            (depth,) = struct.unpack_from(">H", payload, entry0 + 82)
+            if depth in (8, 16, 24, 32):
+                channels = depth // 8
+    return width, height, channels, n_frames
+
+
 # --- deterministic synthetic image payloads -------------------------------
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -665,6 +758,97 @@ def synth_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _synth_mp4(doc_id: int) -> bytes:
+    """Deterministic minimal-but-grammatical MP4 for ``doc_id``: full
+    ISO BMFF box tree (ftyp, moov{mvhd, trak{tkhd, mdia{mdhd, hdlr,
+    minf{vmhd, dinf{dref{url}}, stbl{stsd{avc1}, stts, stsc, stsz,
+    stco}}}}}, mdat) with closed-form fields:
+
+    - width = 16·(1 + id%4), height = 16·(1 + id%3) (tkhd 16.16 fixed),
+    - n_frames = 1 + id%8 (stsz sample count; one 32-byte deterministic
+      "frame" per sample in mdat),
+    - depth 24 → channels 3 in the avc1 visual sample entry,
+    - total byte size = 587 + 36·n_frames (4 stsz bytes + 32 mdat bytes
+      per frame) — the formula the DuckDB oracle recomputes.
+
+    The avcC codec-config box is deliberately absent: this synthesizes
+    CONTAINER grammar for the hermetic metadata parser, not a playable
+    bitstream (frame decode is the env-bound extension point)."""
+    w = 16 * (1 + doc_id % 4)
+    h = 16 * (1 + doc_id % 3)
+    nf = 1 + doc_id % 8
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, nf * 1000)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + bytes(24) + struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", struct.pack(">IIIIII", 7, 0, 0, 1, 0, nf * 1000)
+                + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, nf * 1000,
+                                     0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(12) + b"\x00")
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    dinf = _box(b"dinf", _box(b"dref", struct.pack(">II", 0, 1)
+                              + _box(b"url ", struct.pack(">I", 1))))
+    avc1 = _box(b"avc1", bytes(6) + struct.pack(">H", 1)      # SampleEntry
+                + bytes(16)                                    # pre_defined/reserved
+                + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x00480000, 0x00480000)   # 72 dpi
+                + bytes(4) + struct.pack(">H", 1)              # frame_count
+                + bytes(32)                                    # compressorname
+                + struct.pack(">Hh", 24, -1))                  # depth, pre_defined
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + avc1)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, nf, 1000))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, nf, 1))
+    sizes = b"".join(struct.pack(">I", 32) for _ in range(nf))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, nf) + sizes)
+    stco = _box(b"stco", struct.pack(">III", 0, 1, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    frames = b"".join(
+        bytes((doc_id + f + i) % 256 for i in range(32)) for f in range(nf)
+    )
+    mdat = _box(b"mdat", frames)
+    return ftyp + moov + mdat
+
+
+def synth_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic MP4 container payload to each row — the
+    video sibling of :func:`synth_image_payloads`, same row shape."""
+    gen_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [_synth_mp4(int(d)) for d in ids],
+            })
+
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("mp4").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
+
+
 def synth_audio_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a deterministic real PCM-WAV payload to each row — the
     audio sibling of :func:`synth_image_payloads`, same row shape."""
@@ -754,6 +938,11 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             # raw mean (exact integer-sum / count in float64); callers
             # round engine-side so both engines round identically
             base.update(width=w, height=h, channels=ch, px_mean=mean)
+        elif fmt in VIDEO_FORMATS:
+            # container metadata only — px_mean needs a codec (the
+            # decode_media extension point); hermetic box walk
+            w, h, ch, frames = decode_mp4_meta(payload)
+            base.update(width=w, height=h, channels=ch, n_frames=frames)
         elif fmt in AUDIO_FORMATS:
             rate, ch, frames, mean = decode_wav(payload)
             base.update(

@@ -1418,6 +1418,84 @@ def test_multimodal_jpeg_general_decode():
     assert abs(mean - expected.mean()) < 1e-9
 
 
+def test_multimodal_mp4_meta_roundtrip():
+    """The deterministic MP4 container payloads parse back to their
+    closed-form fields (dims, channels from stsd depth, frame count,
+    byte size) — the DuckDB oracle's recomputation."""
+    from dp_data_quality_spark.ops.multimodal import _synth_mp4, decode_mp4_meta
+
+    for d in range(60):
+        p = _synth_mp4(d)
+        w, h, nf = 16 * (1 + d % 4), 16 * (1 + d % 3), 1 + d % 8
+        assert p[4:8] == b"ftyp"
+        assert len(p) == 587 + 36 * nf
+        assert decode_mp4_meta(p) == (w, h, 3, nf)
+
+
+def test_multimodal_mp4_general_parse():
+    """decode_mp4_meta is a GENERAL ISO BMFF box walker, not one
+    hardcoded to the synth layout: unknown boxes (free/udta) interleaved
+    at every level are skipped, a version-1 tkhd shifts the dims offset,
+    and truncated/contradictory structures raise instead of
+    mis-parsing."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from dp_data_quality_spark.ops.multimodal import (
+        _box, _synth_mp4, decode_mp4_meta,
+    )
+
+    base = _synth_mp4(5)
+    # re-assemble with noise boxes injected at top level and inside moov
+    boxes = []
+    pos = 0
+    while pos < len(base):
+        (size,) = _s.unpack_from(">I", base, pos)
+        boxes.append(base[pos:pos + size])
+        pos += size
+    ftyp, moov, mdat = boxes
+    free = _box(b"free", b"\xde\xad\xbe\xef")
+    udta = _box(b"udta", _box(b"meta", bytes(8)))
+    moov_noisy = _box(b"moov", free + moov[8:] + udta)
+    noisy = ftyp + free + moov_noisy + mdat
+    assert decode_mp4_meta(noisy) == decode_mp4_meta(base) == (32, 48, 3, 6)
+
+    # version-1 tkhd: 64-bit times shift width/height by 12 bytes
+    w, h = 100, 50
+    tkhd_v1 = _box(b"tkhd", bytes([1, 0, 0, 7]) + bytes(8 + 8 + 4 + 4 + 8)
+                   + bytes(8) + bytes(8)
+                   + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+                   + _s.pack(">II", w << 16, h << 16))
+    stsz = _box(b"stsz", _s.pack(">III", 0, 0, 3) + _s.pack(">III", 1, 1, 1))
+    stbl = _box(b"stbl", stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", minf)
+    moov_v1 = _box(b"moov", _box(b"trak", tkhd_v1 + mdia))
+    p_v1 = _box(b"ftyp", b"isom" + bytes(8)) + moov_v1
+    assert decode_mp4_meta(p_v1) == (w, h, None, 3)  # no stsd → channels None
+
+    with _pt.raises(ValueError):
+        decode_mp4_meta(b"\x00\x00\x00\x08mdat")  # no ftyp
+    with _pt.raises(ValueError):
+        decode_mp4_meta(_box(b"ftyp", b"isom") + _box(b"moov", b""))
+    # malformed: inner box overruns its parent
+    bad = _box(b"ftyp", b"isom") + _box(
+        b"moov", _s.pack(">I", 9999) + b"trak")
+    with _pt.raises(ValueError):
+        decode_mp4_meta(bad)
+
+
+def test_multimodal_mp4_frame_decode_still_stubbed():
+    """Container METADATA is hermetic, but frame decode remains the
+    documented env-bound extension point."""
+    from dp_data_quality_spark.ops.multimodal import _synth_mp4, decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media("mp4", _synth_mp4(0))
+
+
 def test_multimodal_jpeg_unsupported_variants_raise():
     """Color / progressive / restart-interval JPEG routes to the codec
     extension point with a clear error instead of mis-decoding."""
