@@ -2686,17 +2686,50 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.synth_mp4_payloads(d))
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image RESIZE in the Arrow batch
+    (``ops.multimodal.extract_thumbnails``): decode pixels
+    (ppm/bmp/png), nearest-neighbor to 4×4, emit the resized buffer's
+    size and pixel mean.  Because every synth pixel i carries
+    (doc_id·37 + i) % 251, the resized mean is the closed-form average
+    over the 16 sampled indices (⌊ty·h/4⌋·w + ⌊tx·w/4⌋) the oracle
+    recomputes."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_thumbnails(MM.synth_image_payloads(d), 4, 4).withColumn(
+        "px_mean", F.round("px_mean", 6)
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level video FRAME-SAMPLING
+    (``ops.multimodal.sample_frames``): every 2nd sample's raw bytes
+    sliced out of mdat via stsz/stsc/stco — no codec — summarized per
+    doc (count, bytes, mean byte value).  Sampled count, size and the
+    byte mean are closed-form in doc_id (frame f's bytes are
+    (doc_id+f+i) % 256), so the oracle recomputes them exactly."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.synth_mp4_payloads(d), every=2).withColumn(
+        "amp_mean", F.round("amp_mean", 6)
+    )
+
+
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: binary plumbing (utf8-text rows, thumbnail path)
     + real image decode (ppm/bmp/png rows) + real baseline-JPEG decode
     (jpeg rows) + real PCM-WAV audio decode (wav rows) + hermetic MP4
-    container metadata (mp4 rows) as one format-tagged panel."""
+    container metadata (mp4 rows) + real nearest-neighbor resize
+    (<fmt>@4x4 rows) + container-level frame sampling (mp4-frames rows)
+    as one format-tagged panel."""
     return (
         q_multimodal_features(spark, sf_dir)
         .unionByName(q_media_decode(spark, sf_dir))
         .unionByName(q_audio_decode(spark, sf_dir))
         .unionByName(q_jpeg_decode(spark, sf_dir))
         .unionByName(q_video_meta(spark, sf_dir))
+        .unionByName(q_image_resize(spark, sf_dir))
+        .unionByName(q_frame_sample(spark, sf_dir))
     )
 
 
@@ -2801,6 +2834,54 @@ FROM (SELECT doc_id,
              16 * (1 + doc_id % 3) AS h,
              1 + doc_id % 8 AS nf
       FROM documents) g
+UNION ALL
+SELECT m.doc_id,
+       CASE m.doc_id % 3 WHEN 0 THEN 'ppm@4x4' WHEN 1 THEN 'bmp@4x4'
+            ELSE 'png@4x4' END AS format,
+       CAST(48 AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(4 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       m.px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
+FROM (SELECT doc_id, round(avg(v), 6) AS px_mean
+      FROM (SELECT d.doc_id,
+                   (d.doc_id * 37
+                    + ((t.ty * d.h) // 4) * d.w
+                    + (t.tx * d.w) // 4) % 251 AS v
+            FROM (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents) d
+            CROSS JOIN (SELECT ty.i AS ty, tx.i AS tx
+                        FROM generate_series(0, 3) ty(i)
+                        CROSS JOIN generate_series(0, 3) tx(i)) t)
+      GROUP BY doc_id) m
+UNION ALL
+SELECT s.doc_id,
+       'mp4-frames' AS format,
+       CAST(32 * s.ns AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(NULL AS INT) AS width,
+       CAST(NULL AS INT) AS height,
+       CAST(NULL AS INT) AS channels,
+       CAST(NULL AS DOUBLE) AS px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(s.ns AS INT) AS n_frames,
+       round(s.total / (32.0 * s.ns), 6) AS amp_mean
+FROM (SELECT d.doc_id, (d.nf + 1) // 2 AS ns,
+             -- frame f carries bytes (doc_id+f+i)%256 for i in 0..31:
+             -- its sum is 32*b0 + 496 minus 256 per wrapped byte,
+             -- b0 = (doc_id+f)%256, wraps = max(0, b0-224)
+             sum(32 * ((d.doc_id + f.f) % 256) + 496
+                 - 256 * greatest(0, (d.doc_id + f.f) % 256 - 224)) AS total
+      FROM (SELECT doc_id, 1 + doc_id % 8 AS nf FROM documents) d
+      JOIN generate_series(0, 7) f(f)
+        ON f.f < d.nf AND f.f % 2 = 0
+      GROUP BY d.doc_id, d.nf) s
 """
 
 

@@ -94,6 +94,8 @@ BENCH_QUERIES_EXTRA = [
     "jpeg_decode",
     "profile_quantiles_dist",
     "video_meta",
+    "image_resize",
+    "frame_sample",
 ]
 
 

@@ -603,6 +603,179 @@ def decode_mp4_meta(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, n_frames
 
 
+# --- pixel-level access: resize + frame-sample ----------------------------
+
+def decode_pixels(fmt: str, payload: bytes):
+    """(width, height, uint8 ndarray of shape (h, w, 3)) for the RGB
+    image formats — the pixel-buffer sibling of :func:`decode_image`
+    (which only returns the mean).  Used by the resize path; jpeg is
+    grayscale here and mp4 needs a codec, so both route to the
+    extension point."""
+    import numpy as np
+
+    if fmt == "ppm":
+        w, h, _ch, _ = decode_ppm(payload)
+        body = payload[len(payload) - 3 * w * h:]
+        return w, h, np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "bmp":
+        w, h, _ch, _ = decode_bmp(payload)
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        row = (w * 3 + 3) // 4 * 4
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            start = data_off + y * row
+            line = np.frombuffer(payload[start:start + w * 3], dtype=np.uint8)
+            px[h - 1 - y] = line.reshape(w, 3)[:, ::-1]  # bottom-up BGR
+        return w, h, px
+    if fmt == "png":
+        import zlib
+
+        w, h, _ch, _ = decode_png(payload)
+        idat = bytearray()
+        pos = 8
+        while pos + 12 <= len(payload):
+            (length,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4:pos + 8]
+            if ctype == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + length]
+            pos += 12 + length
+        raw = _unfilter_png(zlib.decompress(bytes(idat)), w, h)
+        return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    raise NotImplementedError(
+        f"pixel decode for {fmt!r} is not hermetic here; plug PIL/ffmpeg "
+        "into this extension point on a real cluster"
+    )
+
+
+def resize_nearest(px, tw: int, th: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 array to
+    (th, tw, 3): target (y, x) samples source (⌊y·h/th⌋, ⌊x·w/tw⌋) —
+    the standard box-free decimation, exact integer index math so the
+    oracle can mirror it."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return px[np.ix_(ys, xs)]
+
+
+def extract_thumbnails(df: DataFrame, tw: int = 4, th: int = 4,
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL image resize in the Arrow batch: decode pixels
+    (:func:`decode_pixels`), nearest-neighbor resize to (tw, th), emit
+    FEATURE_SCHEMA rows tagged ``<fmt>@<tw>x<th>`` with the RESIZED
+    buffer's size and pixel mean.  Same mapInPandas shape as
+    :func:`extract_features` — partition-local, binary never passes the
+    driver."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, f, p in zip(pdf[id_col], pdf["fmt"], pdf["payload"]):
+                _w, _h, px = decode_pixels(f, p)
+                small = resize_nearest(px, tw, th)
+                rows.append({
+                    "doc_id": d,
+                    "format": f"{f}@{tw}x{th}",
+                    "n_bytes": int(small.size),
+                    "sha256": None, "thumb": None,
+                    "width": tw, "height": th, "channels": 3,
+                    "px_mean": float(small.mean()),
+                    "sample_rate": None, "n_frames": None, "amp_mean": None,
+                })
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    src = df.select(
+        F.col(id_col), F.col("payload"), F.col("media_meta.format").alias("fmt")
+    )
+    return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+def mp4_frame_slices(payload: bytes) -> list[bytes]:
+    """The raw (still-encoded) sample payloads of an MP4 video track —
+    container-level frame EXTRACTION, no codec: stsz gives per-sample
+    sizes, stco the chunk offsets, stsc the chunk→sample mapping;
+    samples are sliced straight out of mdat.  This is the byte stream a
+    real cluster would hand to the codec per sampled frame."""
+    n = len(payload)
+    stbl = _mp4_find(payload, 0, n, [b"moov", b"trak", b"mdia", b"minf",
+                                     b"stbl"])
+    if stbl is None:
+        raise ValueError("MP4 missing stbl")
+    s0, s1 = stbl
+    boxes = {t: (a, b) for t, a, b in _mp4_boxes(payload, s0, s1)}
+    for need in (b"stsz", b"stco", b"stsc"):
+        if need not in boxes:
+            raise ValueError(f"MP4 missing {need.decode()}")
+    z0, _ = boxes[b"stsz"]
+    _flags, fixed_size, n_samples = struct.unpack_from(">III", payload, z0)
+    sizes = ([fixed_size] * n_samples if fixed_size else
+             list(struct.unpack_from(f">{n_samples}I", payload, z0 + 12)))
+    c0, _ = boxes[b"stco"]
+    (n_chunks,) = struct.unpack_from(">I", payload, c0 + 4)
+    offsets = struct.unpack_from(f">{n_chunks}I", payload, c0 + 8)
+    sc0, _ = boxes[b"stsc"]
+    (n_ent,) = struct.unpack_from(">I", payload, sc0 + 4)
+    ents = [struct.unpack_from(">III", payload, sc0 + 8 + 12 * i)
+            for i in range(n_ent)]  # (first_chunk, samples_per_chunk, _)
+    # expand stsc: samples-per-chunk for each chunk index (1-based)
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(ents):
+        last = ents[i + 1][0] if i + 1 < n_ent else n_chunks + 1
+        per_chunk += [spc] * (last - first)
+    frames = []
+    si = 0
+    for ci, coff in enumerate(offsets):
+        pos = coff
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n_samples:
+                break
+            frames.append(payload[pos:pos + sizes[si]])
+            pos += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError("MP4 sample tables inconsistent with mdat")
+    return frames
+
+
+def sample_frames(df: DataFrame, every: int = 2,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Frame-sampling over MP4 payloads in the Arrow batch: extract the
+    raw sample bytes via the container tables
+    (:func:`mp4_frame_slices`), keep every ``every``-th frame, and emit
+    one FEATURE_SCHEMA row per doc tagged ``mp4-frames`` summarizing
+    the sampled set — n_frames = sampled count, n_bytes = sampled
+    bytes, amp_mean = mean byte value across sampled frames (the
+    codec-free integrity stat; actual pixel decode of a sampled frame
+    is the ffmpeg extension point)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, p in zip(pdf[id_col], pdf["payload"]):
+                picked = mp4_frame_slices(p)[::every]
+                blob = b"".join(picked)
+                rows.append({
+                    "doc_id": d,
+                    "format": "mp4-frames",
+                    "n_bytes": len(blob),
+                    "sha256": None, "thumb": None,
+                    "width": None, "height": None, "channels": None,
+                    "px_mean": None, "sample_rate": None,
+                    "n_frames": len(picked),
+                    "amp_mean": (sum(blob) / len(blob)) if blob else None,
+                })
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    src = df.select(F.col(id_col), F.col("payload"))
+    return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
 # --- deterministic synthetic image payloads -------------------------------
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -809,12 +982,21 @@ def _synth_mp4(doc_id: int) -> bytes:
     stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, nf, 1))
     sizes = b"".join(struct.pack(">I", 32) for _ in range(nf))
     stsz = _box(b"stsz", struct.pack(">III", 0, 0, nf) + sizes)
-    stco = _box(b"stco", struct.pack(">III", 0, 1, 0))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
+
+    def assemble(mdat_off: int) -> bytes:
+        stco = _box(b"stco", struct.pack(">III", 0, 1, mdat_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    # stco must carry the REAL file offset of the first sample (the
+    # mdat body) so container-level frame extraction works; the offset
+    # field is fixed-width, so assembling once with a placeholder fixes
+    # every box size and the second pass just fills the true value in
+    moov = assemble(0)
+    moov = assemble(len(ftyp) + len(moov) + 8)
     frames = b"".join(
         bytes((doc_id + f + i) % 256 for i in range(32)) for f in range(nf)
     )

@@ -1487,6 +1487,106 @@ def test_multimodal_mp4_general_parse():
         decode_mp4_meta(bad)
 
 
+def test_multimodal_resize_nearest_exact():
+    """decode_pixels returns the true raster for all three RGB formats
+    (ppm/bmp/png agree pixel-for-pixel on the same logical image) and
+    nearest-neighbor resize samples exactly the ⌊t·src/dst⌋ grid —
+    including upsampling (target > source)."""
+    import numpy as np
+
+    from dp_data_quality_spark.ops.multimodal import (
+        _synth_image, decode_pixels, resize_nearest,
+    )
+
+    for d in range(24):
+        p, fmt = _synth_image(d)
+        w, h = 4 + d % 13, 3 + d % 7
+        gw, gh, px = decode_pixels(fmt, p)
+        assert (gw, gh) == (w, h)
+        vals = np.array([(d * 37 + i) % 251 for i in range(w * h)],
+                        dtype=np.uint8).reshape(h, w)
+        assert (px == vals[:, :, None]).all()
+        for tw, th in ((4, 4), (2, 3), (w * 2, h * 2)):
+            small = resize_nearest(px, tw, th)
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            assert (small == px[np.ix_(ys, xs)]).all()
+
+
+def test_multimodal_mp4_frame_slices_exact():
+    """Container-level frame extraction returns the exact mdat sample
+    bytes (stco offset + stsz sizes + stsc chunk mapping), and a
+    multi-chunk layout with varying sizes round-trips through the
+    general stsc expansion."""
+    import struct as _s
+
+    from dp_data_quality_spark.ops.multimodal import (
+        _box, _synth_mp4, mp4_frame_slices,
+    )
+
+    for d in range(24):
+        fr = mp4_frame_slices(_synth_mp4(d))
+        nf = 1 + d % 8
+        assert len(fr) == nf
+        for f, fb in enumerate(fr):
+            assert fb == bytes((d + f + i) % 256 for i in range(32))
+
+    # hand-built 2-chunk file: chunk 1 holds 2 samples, chunk 2 holds 1,
+    # sizes vary per sample (stsz table, not fixed-size)
+    samples = [b"AAAA", b"BBBBBB", b"CC"]
+    tkhd = _box(b"tkhd", bytes(4 + 32 + 8 + 8) + bytes(36)
+                + _s.pack(">II", 8 << 16, 8 << 16))
+    stsz = _box(b"stsz", _s.pack(">III", 0, 0, 3)
+                + b"".join(_s.pack(">I", len(x)) for x in samples))
+    stsc = _box(b"stsc", _s.pack(">I", 0) + _s.pack(">I", 2)
+                + _s.pack(">III", 1, 2, 1) + _s.pack(">III", 2, 1, 1))
+    ftyp = _box(b"ftyp", b"isom" + bytes(8))
+
+    def build(off1, off2):
+        stco = _box(b"stco", _s.pack(">I", 0) + _s.pack(">I", 2)
+                    + _s.pack(">II", off1, off2))
+        stbl = _box(b"stbl", stsz + stsc + stco)
+        return _box(b"moov", _box(b"trak", tkhd + _box(
+            b"mdia", _box(b"minf", stbl))))
+
+    moov = build(0, 0)
+    base = len(ftyp) + len(moov) + 8
+    gap = b"XX"  # chunks need not be adjacent
+    moov = build(base, base + 10 + len(gap))
+    payload = (ftyp + moov
+               + _box(b"mdat", samples[0] + samples[1] + gap + samples[2]))
+    assert mp4_frame_slices(payload) == samples
+
+
+def test_multimodal_resize_and_frame_sample_spark(spark):
+    """The Arrow-batch resize and frame-sample operators emit the
+    closed-form fields the DuckDB oracle recomputes."""
+    from dp_data_quality_spark.ops import multimodal as MM
+
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    thumbs = {r.doc_id: r for r in MM.extract_thumbnails(
+        MM.synth_image_payloads(df), 4, 4).collect()}
+    for d in range(12):
+        r = thumbs[d]
+        w, h = 4 + d % 13, 3 + d % 7
+        idx = [((ty * h) // 4) * w + (tx * w) // 4
+               for ty in range(4) for tx in range(4)]
+        assert r.width == 4 and r.height == 4 and r.n_bytes == 48
+        assert r.px_mean == sum((d * 37 + i) % 251 for i in idx) / 16
+        assert r.format == {0: "ppm@4x4", 1: "bmp@4x4", 2: "png@4x4"}[d % 3]
+
+    frames = {r.doc_id: r for r in MM.sample_frames(
+        MM.synth_mp4_payloads(df), every=2).collect()}
+    for d in range(12):
+        r = frames[d]
+        nf = 1 + d % 8
+        ns = (nf + 1) // 2
+        assert r.n_frames == ns and r.n_bytes == 32 * ns
+        exp = sum((d + f + i) % 256
+                  for f in range(0, nf, 2) for i in range(32)) / (32 * ns)
+        assert abs(r.amp_mean - exp) < 1e-9
+
+
 def test_multimodal_mp4_frame_decode_still_stubbed():
     """Container METADATA is hermetic, but frame decode remains the
     documented env-bound extension point."""
