@@ -41,7 +41,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_pairs
+from .similarity import assign_centroids, cosine_pairs
 
 
 @dataclass
@@ -51,49 +51,9 @@ class IvfIndexInfo:
     n_vectors: int
 
 
-def _assign(df: DataFrame, cents: DataFrame, id_alias: str, emb_alias: str,
-            probes: int, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest-``probes`` centroid assignment (broadcast centroid table,
-    same ranking/tie-break as ``similarity.ivf_ann_topk``).
-
-    ``probes == 1`` (the offline build path, corpus-sized input) uses a
-    ``max_by`` aggregate instead of a ``row_number`` window: the
-    aggregate is map-side reducible, so each task reduces its corpus×k
-    candidate rows to one row per vector BEFORE the exchange — the
-    window formulation would shuffle k× the corpus WITH embedding
-    payloads just to rank them.  Tie-break is identical (highest csim,
-    then lowest cent_id — NaN sorts greatest in both formulations).
-    ``probes > 1`` (the query side — a handful of rows) keeps the
-    window."""
-    scored = df.select(
-        F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
-    ).crossJoin(F.broadcast(cents)).select(
-        id_alias, emb_alias, "cent_id",
-        cosine_pairs(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
-    )
-    if probes == 1:
-        best = scored.groupBy(id_alias).agg(
-            F.max_by(
-                F.struct(F.col(emb_alias).alias("emb"),
-                         F.col("cent_id").alias("cent_id")),
-                F.struct(F.col("csim").alias("csim"),
-                         (-F.col("cent_id")).alias("neg_cid")),
-            ).alias("best")
-        )
-        return best.select(
-            id_alias,
-            F.col("best.emb").alias(emb_alias),
-            F.col("best.cent_id").alias("cent_id"),
-        )
-    w = Window.partitionBy(id_alias).orderBy(
-        F.col("csim").desc(), F.col("cent_id").asc()
-    )
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= probes)
-        .drop("csim", "crank")
-    )
-
+_assign = assign_centroids  # shared IVF assignment (see similarity.py):
+# probes==1 → map-side-reducible max_by (no corpus×k embedding shuffle),
+# probes>1 → per-query window; identical ranking/tie-breaks both ways.
 
 # v2: the marker gained a corpus fingerprint (n_corpus) and rebuilds
 # delete the marker up front — v1 markers are unconditionally rebuilt

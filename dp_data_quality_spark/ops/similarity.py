@@ -164,6 +164,53 @@ def cosine_topk(
     )
 
 
+def assign_centroids(df: DataFrame, cents: DataFrame, id_alias: str,
+                     emb_alias: str, probes: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Nearest-``probes`` centroid assignment against a broadcast
+    centroid table — the shared IVF building block (in-memory
+    ``ivf_ann_topk`` and the persistent ``ops.ann_index`` build/probe).
+
+    ``probes == 1`` (the corpus side — corpus-sized input) uses a
+    ``max_by`` aggregate instead of a ``row_number`` window: the
+    aggregate is map-side reducible, so each task reduces its corpus×k
+    candidate rows to one row per vector BEFORE the exchange — the
+    window formulation would shuffle k× the corpus WITH embedding
+    payloads just to rank them.  Tie-break is identical (highest csim,
+    then lowest cent_id — NaN sorts greatest in both formulations).
+    ``probes > 1`` (the query side — a handful of rows) keeps the
+    window."""
+    scored = df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
+    ).crossJoin(F.broadcast(cents)).select(
+        id_alias, emb_alias, "cent_id",
+        cosine_pairs(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
+    )
+    if probes == 1:
+        best = scored.groupBy(id_alias).agg(
+            F.max_by(
+                F.struct(F.col(emb_alias).alias("emb"),
+                         F.col("cent_id").alias("cent_id")),
+                F.struct(F.col("csim").alias("csim"),
+                         (-F.col("cent_id")).alias("neg_cid")),
+            ).alias("best")
+        )
+        return best.select(
+            id_alias,
+            F.col("best.emb").alias(emb_alias),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= probes)
+        .drop("csim", "crank")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -197,24 +244,10 @@ def ivf_ann_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_emb")
         )
 
-    def assign(df: DataFrame, id_alias: str, emb_alias: str, probes: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias(emb_alias)
-        ).crossJoin(F.broadcast(cents)).select(
-            id_alias, emb_alias, "cent_id",
-            cosine_pairs(F.col(emb_alias), F.col("cent_emb")).alias("csim"),
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("csim").desc(), F.col("cent_id").asc()
-        )
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= probes)
-            .drop("csim", "crank")
-        )
-
-    corpus_a = assign(corpus, "neighbor_id", "c_emb", 1)
-    query_a = assign(queries, "query_id", "q_emb", n_probe)
+    corpus_a = assign_centroids(corpus, cents, "neighbor_id", "c_emb", 1,
+                                id_col, vec_col)
+    query_a = assign_centroids(queries, cents, "query_id", "q_emb", n_probe,
+                               id_col, vec_col)
 
     scored = (
         corpus_a.join(query_a, on="cent_id")
