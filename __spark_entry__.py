@@ -2465,8 +2465,13 @@ def q_ann_ivf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embed stage exactly, this tag proves the full
     text→embed→index→probe chain a 100-TB similarity deployment runs —
     each query scans ~n_probe/n_centroids of the corpus, never all of
-    it."""
-    emb = q_text_embeddings(spark, sf_dir)
+    it.  The embeddings are MATERIALIZED once (localCheckpoint) before
+    indexing: the IVF plan references them three times (corpus
+    assignment, centroid table, query side), and a real deployment
+    likewise writes the embedding table once and builds the index from
+    it rather than re-running the projection per reference — exactly
+    what ``ops.ann_index.build_ivf_index`` does at scale."""
+    emb = q_text_embeddings(spark, sf_dir).localCheckpoint()
     return SIM.ivf_ann_topk(
         emb, emb.filter(F.col("doc_id") < 5),
         k=10, n_centroids=16, n_probe=2, id_col="doc_id",
