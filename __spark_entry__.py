@@ -2691,6 +2691,24 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.synth_mp4_payloads(d))
 
 
+def q_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video FRAME decode for Motion-JPEG tracks
+    (``ops.multimodal.decode_video_frames``): stsz/stsc/stco slice the
+    sample payloads out of mdat, and each sample — a self-contained
+    baseline JPEG — runs through the real marker/Huffman/IDCT decoder.
+    Frame f of doc d is ``_synth_jpeg(d+f)``, so the oracle recomputes
+    the first frame's dims, the summed encoded byte size
+    (Σ 140 + ⌈11·nb_f/8⌉) and the mean of per-frame decoded means
+    (avg of 40 + (d+f)%24 + 96·⌊nb_f/2⌋/nb_f) in closed form.  Codecs
+    with inter-frame bitstreams (avc1, ...) stay the documented ffmpeg
+    extension point."""
+    _prep(spark)
+    d = _t(spark, sf_dir, "documents")
+    return MM.decode_video_frames(MM.synth_mjpeg_payloads(d)).withColumn(
+        "px_mean", F.round("px_mean", 6)
+    )
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image RESIZE in the Arrow batch
     (``ops.multimodal.extract_thumbnails``): decode pixels
@@ -2726,7 +2744,8 @@ def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jpeg rows) + real PCM-WAV audio decode (wav rows) + hermetic MP4
     container metadata (mp4 rows) + real nearest-neighbor resize
     (<fmt>@4x4 rows) + container-level frame sampling (mp4-frames rows)
-    as one format-tagged panel."""
+    + real MJPEG frame decode (mp4-mjpeg rows) as one format-tagged
+    panel."""
     return (
         q_multimodal_features(spark, sf_dir)
         .unionByName(q_media_decode(spark, sf_dir))
@@ -2735,6 +2754,7 @@ def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_video_meta(spark, sf_dir))
         .unionByName(q_image_resize(spark, sf_dir))
         .unionByName(q_frame_sample(spark, sf_dir))
+        .unionByName(q_mjpeg_frame_decode(spark, sf_dir))
     )
 
 
@@ -2887,6 +2907,30 @@ FROM (SELECT d.doc_id, (d.nf + 1) // 2 AS ns,
       JOIN generate_series(0, 7) f(f)
         ON f.f < d.nf AND f.f % 2 = 0
       GROUP BY d.doc_id, d.nf) s
+UNION ALL
+SELECT m.doc_id,
+       'mp4-mjpeg' AS format,
+       CAST(m.total_bytes AS INT) AS n_bytes,
+       CAST(NULL AS STRING) AS sha256,
+       CAST(NULL AS STRING) AS thumb,
+       CAST(8 * (1 + m.doc_id % 3) AS INT) AS width,
+       CAST(8 * (1 + m.doc_id % 2) AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       round(m.mean_of_means, 6) AS px_mean,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(m.nf AS INT) AS n_frames,
+       CAST(NULL AS DOUBLE) AS amp_mean
+FROM (SELECT d.doc_id, d.nf,
+             -- frame f is _synth_jpeg(doc_id+f): nb blocks, closed-form
+             -- byte size and decoded mean (see q_mjpeg_frame_decode)
+             sum(140 + (11 * g.nb + 7) // 8) AS total_bytes,
+             avg(40 + (d.doc_id + f.f) % 24
+                 + 96.0 * (g.nb // 2) / g.nb) AS mean_of_means
+      FROM (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents) d
+      JOIN generate_series(0, 3) f(f) ON f.f < d.nf
+      CROSS JOIN LATERAL (SELECT (1 + (d.doc_id + f.f) % 3)
+                                 * (1 + (d.doc_id + f.f) % 2) AS nb) g
+      GROUP BY d.doc_id, d.nf) m
 """
 
 

@@ -96,6 +96,7 @@ BENCH_QUERIES_EXTRA = [
     "video_meta",
     "image_resize",
     "frame_sample",
+    "mjpeg_frame_decode",
 ]
 
 

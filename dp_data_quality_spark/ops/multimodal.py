@@ -22,10 +22,14 @@ and tested, and so is the decode for the two hermetic formats:
 - **MP4 container metadata** is parsed hermetically too (ISO BMFF box
   walk: tkhd dims, stsd depth → channels, stsz sample count → frames;
   see :func:`decode_mp4_meta`) — container grammar needs no codec.
-  Only FRAME decode (the actual compressed video bitstream) genuinely
-  needs codec libraries not present in this environment; it remains
-  stubbed behind ``decode_media`` → ``NotImplementedError`` — plug
-  ffmpeg into the extension point on a real cluster.
+- **MJPEG frame decode is REAL** (:func:`decode_mp4_frames`): Motion-
+  JPEG samples are self-contained JPEGs, so container slicing
+  (stsz/stsc/stco) composed with :func:`decode_jpeg` decodes every
+  frame hermetically.  Only inter-frame codecs (avc1/hvc1/vp09 — the
+  actual compressed bitstreams) genuinely need codec libraries not
+  present in this environment; they remain stubbed behind
+  ``decode_media`` / ``decode_mp4_frames`` → ``NotImplementedError`` —
+  plug ffmpeg into the extension point on a real cluster.
 
 Scale notes: feature extraction is ``mapInPandas`` (Arrow-batched,
 partition-local, no shuffle); binary payloads never pass through the
@@ -776,6 +780,85 @@ def sample_frames(df: DataFrame, every: int = 2,
     return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
 
 
+# --- MJPEG frame decode: container slicing × the real JPEG decoder --------
+
+# stsd sample-entry fourccs whose samples are self-contained JPEG images
+# (Motion-JPEG); every other visual codec (avc1/hvc1/vp09/...) needs a
+# bitstream decoder this container does not ship
+_MJPEG_FOURCCS = {b"jpeg", b"mjpa"}
+
+
+def _mp4_codec(payload: bytes) -> bytes:
+    """The fourcc of the first stsd sample entry (the track's codec)."""
+    stsd = _mp4_find(payload, 0, len(payload),
+                     [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"stsd"])
+    if stsd is None:
+        raise ValueError("MP4 missing stbl/stsd")
+    s0, s1 = stsd
+    entry0 = s0 + 8  # version/flags + entry_count
+    if entry0 + 8 > s1:
+        raise ValueError("MP4 stsd has no sample entry")
+    return payload[entry0 + 4 : entry0 + 8]
+
+
+def decode_mp4_frames(payload: bytes) -> tuple[int, int, int, int, float]:
+    """REAL video frame decode for Motion-JPEG tracks: slice the sample
+    payloads out of mdat via the container tables
+    (:func:`mp4_frame_slices`) and run each through the real baseline
+    JPEG decoder (:func:`decode_jpeg`) — MJPEG samples are
+    self-contained JPEG images, so frame decode needs no bitstream
+    codec.  Returns (width, height, channels, n_frames, px_mean) where
+    dims/channels come from the first decoded frame and px_mean is the
+    mean of the per-frame pixel means.  Inter-frame codecs (avc1, ...)
+    raise: their bitstreams genuinely need ffmpeg (the ``decode_media``
+    extension point)."""
+    codec = _mp4_codec(payload)
+    if codec not in _MJPEG_FOURCCS:
+        raise NotImplementedError(
+            f"frame decode for codec {codec!r} requires media libraries "
+            "not present in this container; plug ffmpeg in here on a "
+            "real cluster (MJPEG tracks decode hermetically)"
+        )
+    frames = mp4_frame_slices(payload)
+    if not frames:
+        raise ValueError("MJPEG track has no samples")
+    decoded = [decode_jpeg(fr) for fr in frames]
+    w, h, ch, _ = decoded[0]
+    px_mean = sum(m for _, _, _, m in decoded) / len(decoded)
+    return w, h, ch, len(decoded), px_mean
+
+
+def decode_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MJPEG frame decode in the Arrow batch: one
+    FEATURE_SCHEMA row per doc tagged ``mp4-mjpeg`` with the first
+    frame's dims/channels, the decoded frame count, the total encoded
+    byte size of the frames, and the mean of per-frame pixel means —
+    the full container→codec chain (stsz/stsc/stco slicing →
+    marker/Huffman/IDCT decode) running partition-local, binary never
+    passing the driver."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, p in zip(pdf[id_col], pdf["payload"]):
+                w, h, ch, nf, mean = decode_mp4_frames(p)
+                rows.append({
+                    "doc_id": d,
+                    "format": "mp4-mjpeg",
+                    "n_bytes": sum(len(fr) for fr in mp4_frame_slices(p)),
+                    "sha256": None, "thumb": None,
+                    "width": w, "height": h, "channels": ch,
+                    "px_mean": mean, "sample_rate": None,
+                    "n_frames": nf, "amp_mean": None,
+                })
+            out = pd.DataFrame(rows)
+            out["n_bytes"] = out["n_bytes"].astype("int32")
+            yield out
+
+    src = df.select(F.col(id_col), F.col("payload"))
+    return src.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
 # --- deterministic synthetic image payloads -------------------------------
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -1018,6 +1101,96 @@ def synth_mp4_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": ids,
                 "payload": [_synth_mp4(int(d)) for d in ids],
+            })
+
+    out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)
+    return out.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("mp4").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ),
+    )
+
+
+def _synth_mjpeg_mp4(doc_id: int) -> bytes:
+    """Deterministic Motion-JPEG MP4 for ``doc_id``: the same ISO BMFF
+    box tree as :func:`_synth_mp4` but the stsd sample entry is
+    ``jpeg`` and every mdat sample is a REAL baseline JPEG
+    (frame f = ``_synth_jpeg(doc_id + f)``, so each decoded field stays
+    a closed-form function of doc_id the oracle recomputes):
+
+    - n_frames = 1 + id%4; frame f dims 8·(1+(id+f)%3) × 8·(1+(id+f)%2);
+    - frame f byte size = 140 + ⌈11·nb_f/8⌉ with
+      nb_f = (1+(id+f)%3)·(1+(id+f)%2);
+    - frame f decoded mean = 40 + (id+f)%24 + 96·⌊nb_f/2⌋/nb_f
+      (an integer for every reachable nb).
+
+    Unlike the avc1 synth this is a PLAYABLE track: MJPEG samples are
+    self-contained JPEGs, which is exactly why frame decode is
+    hermetic here."""
+    nf = 1 + doc_id % 4
+    frames = [_synth_jpeg(doc_id + f) for f in range(nf)]
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + doc_id % 2)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    mvhd = _box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, 1000, nf * 1000)
+                + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                + bytes(8)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + bytes(24) + struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", struct.pack(">IIIIII", 7, 0, 0, 1, 0, nf * 1000)
+                + bytes(8) + struct.pack(">HHHH", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", w << 16, h << 16))
+    mdhd = _box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, 1000, nf * 1000,
+                                     0x55C4, 0))
+    hdlr = _box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + bytes(12) + b"\x00")
+    vmhd = _box(b"vmhd", struct.pack(">IHHHH", 1, 0, 0, 0, 0))
+    dinf = _box(b"dinf", _box(b"dref", struct.pack(">II", 0, 1)
+                              + _box(b"url ", struct.pack(">I", 1))))
+    entry = _box(b"jpeg", bytes(6) + struct.pack(">H", 1)    # SampleEntry
+                 + bytes(16)                                  # pre_defined/reserved
+                 + struct.pack(">HH", w, h)
+                 + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+                 + bytes(4) + struct.pack(">H", 1)            # frame_count
+                 + bytes(32)                                  # compressorname
+                 + struct.pack(">Hh", 24, -1))                # depth, pre_defined
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, nf, 1000))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, nf, 1))
+    sizes = b"".join(struct.pack(">I", len(fr)) for fr in frames)
+    stsz = _box(b"stsz", struct.pack(">III", 0, 0, nf) + sizes)
+
+    def assemble(mdat_off: int) -> bytes:
+        stco = _box(b"stco", struct.pack(">III", 0, 1, mdat_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov = assemble(0)
+    moov = assemble(len(ftyp) + len(moov) + 8)
+    mdat = _box(b"mdat", b"".join(frames))
+    return ftyp + moov + mdat
+
+
+def synth_mjpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic Motion-JPEG MP4 payload to each row —
+    same row shape as :func:`synth_mp4_payloads`."""
+    gen_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": [_synth_mjpeg_mp4(int(d)) for d in ids],
             })
 
     out = df.select(F.col(id_col)).mapInPandas(_gen, schema=gen_schema)

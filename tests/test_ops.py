@@ -1588,12 +1588,71 @@ def test_multimodal_resize_and_frame_sample_spark(spark):
 
 
 def test_multimodal_mp4_frame_decode_still_stubbed():
-    """Container METADATA is hermetic, but frame decode remains the
-    documented env-bound extension point."""
-    from dp_data_quality_spark.ops.multimodal import _synth_mp4, decode_media
+    """Container METADATA is hermetic, but frame decode for inter-frame
+    codecs remains the documented env-bound extension point."""
+    from dp_data_quality_spark.ops.multimodal import (
+        _synth_mp4, decode_media, decode_mp4_frames,
+    )
 
     with pytest.raises(NotImplementedError):
         decode_media("mp4", _synth_mp4(0))
+    # the avc1 synth refuses FRAME decode too: its mdat is not a
+    # decodable bitstream (no avcC), and the codec gate catches it
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(_synth_mp4(0))
+
+
+def test_multimodal_mjpeg_frame_decode_exact():
+    """MJPEG frame decode (container slicing × the real JPEG decoder)
+    round-trips the synth's closed forms: first-frame dims, per-frame
+    byte sizes, decoded frame count, and mean of per-frame means."""
+    from dp_data_quality_spark.ops.multimodal import (
+        _mp4_codec, _synth_mjpeg_mp4, decode_mp4_frames, decode_mp4_meta,
+        mp4_frame_slices,
+    )
+
+    for d in range(24):
+        p = _synth_mjpeg_mp4(d)
+        assert _mp4_codec(p) == b"jpeg"
+        w, h, ch, nf, mean = decode_mp4_frames(p)
+        nf_e = 1 + d % 4
+        assert (w, h, ch, nf) == (8 * (1 + d % 3), 8 * (1 + d % 2), 1, nf_e)
+        means, total = [], 0
+        for f in range(nf_e):
+            i = d + f
+            nb = (1 + i % 3) * (1 + i % 2)
+            means.append(40 + i % 24 + 96 * (nb // 2) / nb)
+            total += 140 + (11 * nb + 7) // 8
+        assert mean == pytest.approx(sum(means) / nf_e, abs=1e-12)
+        assert sum(len(fr) for fr in mp4_frame_slices(p)) == total
+        # the general container-metadata parser reads the same file
+        mw, mh, _mch, mnf = decode_mp4_meta(p)
+        assert (mw, mh, mnf) == (w, h, nf)
+
+
+def test_multimodal_mjpeg_frame_decode_spark(spark):
+    """The Arrow-batch MJPEG frame-decode operator emits the closed-form
+    fields the DuckDB oracle recomputes."""
+    from dp_data_quality_spark.ops import multimodal as MM
+
+    df = spark.range(12).select(F.col("id").alias("doc_id"))
+    rows = {r.doc_id: r for r in MM.decode_video_frames(
+        MM.synth_mjpeg_payloads(df)).collect()}
+    assert len(rows) == 12
+    for d in range(12):
+        r = rows[d]
+        nf = 1 + d % 4
+        means, total = [], 0
+        for f in range(nf):
+            i = d + f
+            nb = (1 + i % 3) * (1 + i % 2)
+            means.append(40 + i % 24 + 96 * (nb // 2) / nb)
+            total += 140 + (11 * nb + 7) // 8
+        assert r.format == "mp4-mjpeg"
+        assert (r.width, r.height, r.channels) == (
+            8 * (1 + d % 3), 8 * (1 + d % 2), 1)
+        assert r.n_frames == nf and r.n_bytes == total
+        assert r.px_mean == pytest.approx(sum(means) / nf, abs=1e-9)
 
 
 def test_multimodal_jpeg_unsupported_variants_raise():
