@@ -2428,6 +2428,37 @@ def q_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_ngram_embeddings(d)
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-10
+    (``ops.similarity.quantized_ann_topk``): per-vector symmetric
+    ``floor(x·127/max|x|)`` codes stored as ``array<tinyint>`` (4× less
+    memory/bandwidth than float32 — the scale lever for an in-memory
+    vector corpus), ranked by cosine over the codes, whose integer dot
+    products are exact in ANY summation order.  The oracle re-derives
+    every code and rank with the same guarded floor arithmetic."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantized_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _sql_ann_quantized() -> str:
+    cos = SIM.sql_cosine("q.embedding", "c.embedding")
+    qz = SIM.sql_quantize_cte("embeddings")
+    return f"""
+WITH qz AS (SELECT * FROM {qz}), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS sim
+  FROM qz c, (SELECT * FROM qz WHERE vec_id < 5) q
+  WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_bruteforce_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN end-to-end FROM TEXT: embed documents in-engine
     (``ops.embedding.hashed_ngram_embeddings``), then exact cosine
@@ -3070,13 +3101,14 @@ def _sql_transcripts_pipeline() -> str:
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All six ANN strategies — brute-force ground truth, LSH
+    """All seven ANN strategies — brute-force ground truth, LSH
     multi-probe, IVF with sampled centroids, IVF with k-means-trained
-    centroids (over the embeddings table), and the two FROM-TEXT
-    variants over IN-ENGINE embeddings (documents.text → hashed n-gram
-    vectors, no pre-supplied vectors anywhere): brute-force (exact
-    stage proof) and IVF (the scale path, text→embed→index→probe) —
-    as one method-tagged top-k panel."""
+    centroids (over the embeddings table), the two FROM-TEXT variants
+    over IN-ENGINE embeddings (documents.text → hashed n-gram vectors,
+    no pre-supplied vectors anywhere): brute-force (exact stage proof)
+    and IVF (the scale path, text→embed→index→probe), and the
+    int8-QUANTIZED brute force (4× memory reduction, order-insensitive
+    integer dot products) — as one method-tagged top-k panel."""
     parts = [
         ("bruteforce", q_ann_bruteforce),
         ("lsh", q_ann_lsh),
@@ -3084,6 +3116,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_kmeans", q_ann_ivf_kmeans),
         ("bruteforce_text", q_ann_bruteforce_text),
         ("ivf_text", q_ann_ivf_text),
+        ("quantized", q_ann_quantized),
     ]
     out = None
     for m, fn in parts:
@@ -3100,6 +3133,7 @@ def _sql_ann_methods() -> str:
         ("ivf_kmeans", _sql_ann_ivf_kmeans()),
         ("bruteforce_text", _sql_ann_bruteforce_text()),
         ("ivf_text", _sql_ann_ivf_text()),
+        ("quantized", _sql_ann_quantized()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, * FROM ({sql})" for m, sql in parts

@@ -164,6 +164,75 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column: per-vector
+    symmetric scale ``q_i = floor(x_i · 127 / max|x|)`` stored as
+    ``array<tinyint>`` — 4× smaller than float32 (16× vs float64), the
+    standard memory/bandwidth lever for a 100-TB vector corpus.  Cosine
+    is scale-invariant, so the per-vector scale cancels and ranking
+    runs directly on the quantized ints — whose dot products are exact
+    integers (≤ 127²·64 ≪ 2⁵³), making the variant bit-reproducible in
+    ANY summation order.  All-zero vectors quantize to zeros (guarded
+    division).  Deterministic floor arithmetic, so the DuckDB oracle
+    (:func:`sql_quantize_cte`) reproduces every code."""
+    vec = F.col(vec_col)
+    mx = F.aggregate(
+        vec, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v.cast("double")))
+    )
+    out = df.withColumn("__mx", mx)
+    q = F.when(
+        F.col("__mx") == 0.0,
+        F.transform(vec, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(127.0) / F.col("__mx")
+            ).cast("tinyint"),
+        )
+    )
+    return out.withColumn(vec_col, q).drop("__mx")
+
+
+def quantized_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors
+    (:func:`quantize_embeddings` → :func:`cosine_topk`): the quantized
+    sibling of the exact baseline.  At scale the quantized corpus is
+    what sits in memory/cache — 4× more vectors per executor — and the
+    float corpus is consulted only to re-rank the survivors (re-ranking
+    is ``cosine_topk`` over the k·n_queries survivor set, driver-free)."""
+    return cosine_topk(
+        quantize_embeddings(corpus, id_col, vec_col),
+        quantize_embeddings(queries, id_col, vec_col),
+        k=k, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def sql_quantize_cte(table: str = "embeddings",
+                     vec_col: str = "embedding") -> str:
+    """DuckDB twin of :func:`quantize_embeddings` as a derived-table SQL
+    fragment: same guarded ``floor(x·127/max|x|)`` codes."""
+    return f"""
+(SELECT vec_id,
+        CASE WHEN mx = 0 THEN list_transform({vec_col}, x -> CAST(0 AS TINYINT))
+             ELSE list_transform({vec_col},
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx) AS TINYINT))
+        END AS {vec_col}
+ FROM (SELECT vec_id, {vec_col},
+              list_aggregate(list_transform({vec_col},
+                             x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+       FROM {table}))
+"""
+
+
 def assign_centroids(df: DataFrame, cents: DataFrame, id_alias: str,
                      emb_alias: str, probes: int,
                      id_col: str = "vec_id",

@@ -179,6 +179,49 @@ def test_cosine_topk_matches_numpy(vecs):
         assert abs(g[1] - s[1]) < 1e-5
 
 
+def test_quantize_embeddings_manual_recompute(vecs):
+    """Int8 codes match the guarded floor(x·127/max|x|) formula exactly,
+    land in [-127, 127], and all-zero vectors quantize to zeros."""
+    import math
+
+    src = {r.vec_id: r.embedding for r in vecs.collect()}
+    got = {r.vec_id: r.embedding
+           for r in S.quantize_embeddings(vecs).collect()}
+    for vid, x in src.items():
+        mx = max(abs(float(v)) for v in x)
+        exp = [0 if mx == 0 else int(math.floor(float(v) * 127.0 / mx))
+               for v in x]
+        assert got[vid] == exp, vid
+        assert all(-127 <= c <= 127 for c in got[vid])
+    zero = vecs.sparkSession.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>")
+    assert S.quantize_embeddings(zero).collect()[0].embedding == [0] * 8
+    # the stored column really is tinyint (the 4x memory claim)
+    dt = dict(S.quantize_embeddings(vecs).dtypes)["embedding"]
+    assert dt == "array<tinyint>"
+
+
+def test_quantized_ann_close_to_exact(vecs):
+    """Quantized ranking approximates the exact ranking: high overlap in
+    the top-5 sets and identical top-1 for most queries (int8 keeps
+    ~7 significant bits per component)."""
+    exact = S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=5)
+    quant = S.quantized_ann_topk(vecs, vecs.filter("vec_id < 3"), k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    qz = {}
+    for r in quant.collect():
+        qz.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    assert set(ex) == set(qz) == {0, 1, 2}
+    overlap = 0
+    for q in ex:
+        e = {n for _, n in ex[q]}
+        z = {n for _, n in qz[q]}
+        overlap += len(e & z)
+    assert overlap >= 12  # ≥80% of 15 slots agree
+
+
 def test_lsh_ann_is_bucket_subset(vecs):
     brute = {(r.query_id, r.neighbor_id)
              for r in S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=30).collect()}
