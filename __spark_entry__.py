@@ -2459,6 +2459,50 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (``ops.similarity.quantized_rerank_topk``):
+    int8-quantized shortlist (top-30 per query over the codes — the
+    memory-resident scan at scale) → EXACT float cosine re-rank of the
+    survivors only, candidates broadcast ids-only into the float scan.
+    Reported sims are exact; quantization can only cost recall at the
+    shortlist boundary.  The oracle replays both stages."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantized_rerank_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, shortlist=30
+    )
+
+
+def _sql_ann_quantized_rerank() -> str:
+    qcos = SIM.sql_cosine("q.embedding", "c.embedding")
+    fcos = SIM.sql_cosine("qf.embedding", "cf.embedding")
+    qz = SIM.sql_quantize_cte("embeddings")
+    return f"""
+WITH qz AS (SELECT * FROM {qz}), qscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {qcos} AS qsim
+  FROM qz c, (SELECT * FROM qz WHERE vec_id < 5) q
+  WHERE c.vec_id <> q.vec_id
+), shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id ASC) AS r
+    FROM qscored)
+  WHERE r <= 30
+), rescored AS (
+  SELECT s.query_id, s.neighbor_id, {fcos} AS sim
+  FROM shortlist s
+  JOIN embeddings cf ON cf.vec_id = s.neighbor_id
+  JOIN embeddings qf ON qf.vec_id = s.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_ann_bruteforce_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN end-to-end FROM TEXT: embed documents in-engine
     (``ops.embedding.hashed_ngram_embeddings``), then exact cosine
@@ -3101,14 +3145,16 @@ def _sql_transcripts_pipeline() -> str:
 
 
 def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All seven ANN strategies — brute-force ground truth, LSH
+    """All eight ANN strategies — brute-force ground truth, LSH
     multi-probe, IVF with sampled centroids, IVF with k-means-trained
     centroids (over the embeddings table), the two FROM-TEXT variants
     over IN-ENGINE embeddings (documents.text → hashed n-gram vectors,
     no pre-supplied vectors anywhere): brute-force (exact stage proof)
-    and IVF (the scale path, text→embed→index→probe), and the
+    and IVF (the scale path, text→embed→index→probe), the
     int8-QUANTIZED brute force (4× memory reduction, order-insensitive
-    integer dot products) — as one method-tagged top-k panel."""
+    integer dot products), and the two-stage QUANTIZED-SHORTLIST →
+    exact-float-RERANK retrieval (the production memory/precision
+    trade) — as one method-tagged top-k panel."""
     parts = [
         ("bruteforce", q_ann_bruteforce),
         ("lsh", q_ann_lsh),
@@ -3117,6 +3163,7 @@ def q_ann_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bruteforce_text", q_ann_bruteforce_text),
         ("ivf_text", q_ann_ivf_text),
         ("quantized", q_ann_quantized),
+        ("quantized_rerank", q_ann_quantized_rerank),
     ]
     out = None
     for m, fn in parts:
@@ -3134,6 +3181,7 @@ def _sql_ann_methods() -> str:
         ("bruteforce_text", _sql_ann_bruteforce_text()),
         ("ivf_text", _sql_ann_ivf_text()),
         ("quantized", _sql_ann_quantized()),
+        ("quantized_rerank", _sql_ann_quantized_rerank()),
     ]
     return "\nUNION ALL\n".join(
         f"SELECT '{m}' AS method, * FROM ({sql})" for m, sql in parts

@@ -216,6 +216,55 @@ def quantized_ann_topk(
     )
 
 
+def quantized_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: int8-quantized shortlist → EXACT float
+    re-rank — the production pattern for a 100-TB vector corpus.
+
+    Stage 1 scans only the quantized codes (4× less memory/bandwidth
+    than float32, so 4× more corpus per executor) and keeps
+    ``shortlist`` candidates per query; stage 2 touches the float
+    vectors ONLY for those candidates — the (queries × shortlist)
+    ids-only candidate set is broadcast into the corpus scan, so the
+    full-precision column is read for a vanishing fraction of rows and
+    nothing corpus-sized ever shuffles.  Returned ``sim`` values are
+    the EXACT cosine (identical to :func:`cosine_topk` for every pair
+    the shortlist retains), so quantization can only cost recall at
+    the shortlist boundary, never precision of the reported scores."""
+    cand = quantized_ann_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_pairs(F.col("q_emb"), F.col("c_emb")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 def sql_quantize_cte(table: str = "embeddings",
                      vec_col: str = "embedding") -> str:
     """DuckDB twin of :func:`quantize_embeddings` as a derived-table SQL

@@ -222,6 +222,33 @@ def test_quantized_ann_close_to_exact(vecs):
     assert overlap >= 12  # ≥80% of 15 slots agree
 
 
+def test_quantized_rerank_sims_are_exact(vecs):
+    """Stage-2 re-rank reports EXACT float cosines: every (query,
+    neighbor) pair the rerank returns carries the same sim the exact
+    brute-force path computes for that pair, and with a shortlist this
+    wide the returned top-5 IS the exact top-5."""
+    exact = S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=5)
+    rer = S.quantized_rerank_topk(
+        vecs, vecs.filter("vec_id < 3"), k=5, shortlist=30)
+    ex = {(r.query_id, r.neighbor_id): (r.rank, r.sim)
+          for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id): (r.rank, r.sim)
+           for r in rer.collect()}
+    assert got == ex
+
+
+def test_quantized_rerank_plan_broadcasts_candidates(vecs):
+    """The float corpus never shuffles: candidate ids and queries reach
+    the scan via broadcast joins (no SortMergeJoin / CartesianProduct
+    in the re-rank stage)."""
+    plan = S.quantized_rerank_topk(
+        vecs, vecs.filter("vec_id < 3"), k=5, shortlist=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_lsh_ann_is_bucket_subset(vecs):
     brute = {(r.query_id, r.neighbor_id)
              for r in S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=30).collect()}
