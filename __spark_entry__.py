@@ -2695,6 +2695,49 @@ def _sql_embedding_neardup() -> str:
     return SIM.sql_neardup_pairs(threshold=0.4)
 
 
+def q_neardup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs
+    (``ops.similarity.semantic_neardup_pairs``): k-means the embedding
+    space (10 clusters, 5 Lloyd iterations — the same deterministic fit
+    the ``embedding_kmeans`` oracle unrolls), then cosine ONLY within
+    clusters — candidate count n²/(2k), never all-pairs.  Threshold 0.4
+    matches the LSH near-dup tag, so the two tags are directly
+    comparable candidate generators over the same corpus."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_neardup_pairs(emb, k=10, n_iter=5, threshold=0.4)
+
+
+def _sql_neardup_semantic(k: int = 10, n_iter: int = 5,
+                          threshold: float = 0.4) -> str:
+    """Unrolled-k-means final assignment (same CTE ladder as
+    ``_sql_embedding_kmeans``) + within-cluster pair cosine; thresholds
+    compare the UN-rounded sim exactly like the Spark filter."""
+    ctes = _kmeans_ctes(k, n_iter)
+    d = " + ".join(
+        f"power(CAST(e.embedding[{i}] AS DOUBLE) - CAST(c.embedding[{i}] AS DOUBLE), 2)"
+        for i in range(1, 65)
+    )
+    ctes.append(
+        f"afinal AS (SELECT vec_id, cid AS cluster FROM ("
+        f"SELECT e.vec_id, c.cid, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rn "
+        f"FROM embeddings e CROSS JOIN c{n_iter} c) WHERE rn = 1)"
+    )
+    cos = SIM.sql_cosine("ea.embedding", "eb.embedding")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(x.cluster AS INT) AS cluster, x.vec_id AS id_a,
+       y.vec_id AS id_b, round({cos}, 6) AS sim
+FROM afinal x
+JOIN afinal y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+JOIN embeddings ea ON ea.vec_id = x.vec_id
+JOIN embeddings eb ON eb.vec_id = y.vec_id
+WHERE {cos} >= {threshold}
+"""
+    )
+
+
 # === multimodal ===========================================================
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3254,8 +3297,9 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every near-duplicate PAIR emitter as one tagged panel with the
     normalized schema (method, id_a, id_b, score): exact n-gram Jaccard,
     banded MinHash-LSH + exact verify, embedding-cosine LSH buckets,
-    conversation-level banded MinHash over turn digests, and the
-    incremental batch-vs-index signature-agreement probe."""
+    conversation-level banded MinHash over turn digests, the
+    incremental batch-vs-index signature-agreement probe, and
+    SemDeDup-style k-means-clustered semantic pairs."""
 
     def norm(m: str, df: DataFrame, a: str, b: str, s: str) -> DataFrame:
         return df.select(
@@ -3276,6 +3320,8 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              "conv_a", "conv_b", "jaccard"),
         norm("incremental", q_dedup_incremental(spark, sf_dir),
              "doc_a", "doc_b", "est_jaccard"),
+        norm("semantic", q_neardup_semantic(spark, sf_dir),
+             "id_a", "id_b", "sim"),
     ]
     out = parts[0]
     for d in parts[1:]:
@@ -3300,6 +3346,8 @@ def _sql_neardup_pairs() -> str:
              "conv_a", "conv_b", "jaccard"),
         norm("incremental", _sql_dedup_incremental(),
              "doc_a", "doc_b", "est_jaccard"),
+        norm("semantic", _sql_neardup_semantic(),
+             "id_a", "id_b", "sim"),
     ]
     return "\nUNION ALL\n".join(parts)
 

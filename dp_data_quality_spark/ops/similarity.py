@@ -515,6 +515,57 @@ def neardup_pairs(
     )
 
 
+def semantic_neardup_pairs(
+    df: DataFrame,
+    k: int = 10,
+    n_iter: int = 5,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means cluster the
+    embedding space (Lloyd's, ``..clustering.kmeans`` — one narrow
+    assignment pass per iteration, only k×dim numbers reach the driver),
+    then score cosine ONLY within each cluster.  (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — the published recipe: cluster, then prune
+    high-similarity pairs inside clusters.)
+
+    Scale shape: the candidate set is Σ|cluster|²/2 ≈ n²/(2k) instead of
+    n²/2 — k is the cost dial and grows with the corpus (k ∝ n keeps
+    per-cluster work constant, the same bound the IVF index uses for its
+    inverted lists).  The pair join is an equi-join on a small int
+    cluster id carrying ids only; embeddings re-attach to surviving
+    pairs by key join, and one Arrow batch scores the candidates —
+    nothing corpus×corpus ever materializes.  Recall < 1 by design:
+    a near-dup pair straddling a cluster boundary is missed (the
+    published trade-off; LSH-bucketed ``neardup_pairs`` is the
+    complementary candidate generator)."""
+    from .clustering import kmeans
+
+    assigned, _ = kmeans(df, k=k, n_iter=n_iter, id_col=id_col,
+                         vec_col=vec_col)
+    ids = assigned.select("cluster", "vec_id")
+    pairs = (
+        ids.select("cluster", F.col("vec_id").alias("id_a"))
+        .join(ids.select("cluster", F.col("vec_id").alias("id_b")),
+              on="cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("emb_b"))
+    return (
+        pairs.join(ea, on="id_a")
+        .join(eb, on="id_b")
+        .select(
+            "cluster", "id_a", "id_b",
+            cosine_pairs(F.col("emb_a"), F.col("emb_b")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("cluster", "id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
 # --- oracle SQL fragments -------------------------------------------------
 
 def sql_dot(a: str, b: str, dim: int = EMB_DIM) -> str:

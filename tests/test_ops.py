@@ -249,6 +249,44 @@ def test_quantized_rerank_plan_broadcasts_candidates(vecs):
     assert "BroadcastHashJoin" in plan
 
 
+def test_semantic_neardup_within_cluster_exact_sims(vecs):
+    """SemDeDup pairs: every emitted pair is same-cluster under the
+    deterministic k-means fit, carries the EXACT cosine (matches the
+    all-pairs numpy recompute), and every same-cluster pair above the
+    threshold is present — within clusters, recall is exact."""
+    from dp_data_quality_spark.ops.clustering import kmeans
+
+    out = {(r.id_a, r.id_b): (r.cluster, r.sim)
+           for r in S.semantic_neardup_pairs(
+               vecs, k=4, n_iter=3, threshold=0.2).collect()}
+    assigned, _ = kmeans(vecs, k=4, n_iter=3)
+    clusters = {r.vec_id: r.cluster for r in assigned.collect()}
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in vecs.collect()}
+    expect = {}
+    for a in data:
+        for b in data:
+            if a < b and clusters[a] == clusters[b]:
+                sim = float(data[a] @ data[b] / (
+                    np.linalg.norm(data[a]) * np.linalg.norm(data[b])))
+                if sim >= 0.2:
+                    expect[(a, b)] = (clusters[a], sim)
+    assert set(out) == set(expect)
+    for k_, (cl, sim) in out.items():
+        assert cl == expect[k_][0]
+        assert abs(sim - expect[k_][1]) < 1e-5
+
+
+def test_semantic_neardup_no_cartesian(vecs):
+    """The candidate join is an equi-join on the cluster id — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    plan = S.semantic_neardup_pairs(
+        vecs, k=4, n_iter=2, threshold=0.2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_ann_is_bucket_subset(vecs):
     brute = {(r.query_id, r.neighbor_id)
              for r in S.cosine_topk(vecs, vecs.filter("vec_id < 3"), k=30).collect()}
