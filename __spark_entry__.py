@@ -1165,6 +1165,63 @@ def _sql_stratified_sample() -> str:
     )
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing
+    (``ops.sampling.temperature_sample``): 200 documents sampled with
+    per-language quotas ∝ count^0.5 — the standard up-weighting of
+    low-resource languages in a multilingual training mix.  Quota
+    arithmetic is integer end-to-end (weights quantized via one
+    correctly-rounded sqrt), the fill order is the md5 key hash — a
+    pure function of the corpus, reproduced exactly by the oracle."""
+    _prep(spark)
+    from dp_data_quality_spark.ops.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(d, "lang", n_total=200, key_col="doc_id",
+                              alpha=0.5)
+
+
+def _sql_temperature_sample() -> str:
+    from dp_data_quality_spark.ops.sampling import sql_temperature_sample
+
+    return sql_temperature_sample(
+        "(SELECT doc_id, lang FROM documents)",
+        "lang", n_total=200, key_col="doc_id", alpha=0.5,
+    )
+
+
+def q_sampling_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both deterministic samplers as one tagged panel with the
+    normalized schema (method, stratum, key, sample_rank): exact-k
+    stratified sampling over order priorities, and temperature-based
+    (count^0.5) language mixing over the documents corpus."""
+    st = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("method"),
+        F.col("o_orderpriority").alias("stratum"),
+        F.col("o_orderkey").cast("string").alias("key"),
+        "sample_rank",
+    )
+    tm = q_temperature_sample(spark, sf_dir).select(
+        F.lit("temperature").alias("method"),
+        F.col("lang").alias("stratum"),
+        F.col("doc_id").cast("string").alias("key"),
+        "sample_rank",
+    )
+    return st.unionByName(tm)
+
+
+def _sql_sampling_methods() -> str:
+    return f"""
+SELECT 'stratified' AS method, o_orderpriority AS stratum,
+       CAST(o_orderkey AS STRING) AS key, sample_rank
+FROM ({_sql_stratified_sample()})
+UNION ALL
+SELECT 'temperature' AS method, lang AS stratum,
+       CAST(doc_id AS STRING) AS key, sample_rank
+FROM ({_sql_temperature_sample()})
+"""
+
+
 def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word 3-grams by document frequency over the documents
     corpus — the boilerplate/contamination panel
@@ -3429,7 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_lineitem_types": q_contract_lineitem_types,
         "profile_lineitem": q_profile_lineitem,
         "profile_quantiles": q_profile_quantiles_panel,
-        "stratified_sample": q_stratified_sample,
+        "sampling_methods": q_sampling_methods,
         "histogram_prices": q_histogram_prices,
         "frequent_values": q_frequent_values_panel,
         "events_pivot": q_events_pivot,
@@ -3484,7 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_lineitem_types": _sql_contract_lineitem_types(),
         "profile_lineitem": _sql_profile_lineitem(),
         "profile_quantiles": _sql_profile_quantiles_panel(),
-        "stratified_sample": _sql_stratified_sample(),
+        "sampling_methods": _sql_sampling_methods(),
         "histogram_prices": _sql_histogram_prices(),
         "frequent_values": _sql_frequent_values_panel(),
         "events_pivot": SQL_EVENTS_PIVOT,

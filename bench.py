@@ -93,6 +93,8 @@ BENCH_QUERIES_EXTRA = [
     "audio_decode",
     "jpeg_decode",
     "profile_quantiles_dist",
+    "temperature_sample",
+    "neardup_semantic",
     "video_meta",
     "image_resize",
     "frame_sample",

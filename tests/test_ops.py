@@ -943,6 +943,70 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
         stratified_sample(df, ["g"], 0, "k")
 
 
+def test_temperature_sample_quota_math(spark):
+    """Quotas match the largest-remainder allocation recomputed in pure
+    Python integer arithmetic, sum to exactly n_total, and the per-group
+    winners are the smallest md5-hash keys."""
+    import hashlib as _hashlib
+    import math
+
+    from dp_data_quality_spark.ops.sampling import temperature_sample
+
+    # skewed groups: 120 / 40 / 25 / 15
+    rows = (
+        [(i, "big") for i in range(120)]
+        + [(200 + i, "mid") for i in range(40)]
+        + [(300 + i, "small") for i in range(25)]
+        + [(400 + i, "rare") for i in range(15)]
+    )
+    df = spark.createDataFrame(rows, "k long, g string")
+    n_total = 60
+    out = temperature_sample(df, "g", n_total=n_total, key_col="k")
+    per: dict[str, list[int]] = {}
+    for r in out.collect():
+        per.setdefault(r.g, []).append(r.k)
+
+    counts = {"big": 120, "mid": 40, "small": 25, "rare": 15}
+    w = {g: math.floor(math.sqrt(float(c)) * 1_000_000.0)
+         for g, c in counts.items()}
+    W = sum(w.values())
+    base = {g: (n_total * wg) // W for g, wg in w.items()}
+    rem = {g: (n_total * wg) % W for g, wg in w.items()}
+    deficit = n_total - sum(base.values())
+    for i, g in enumerate(sorted(rem, key=lambda g: (-rem[g], g))):
+        if i < deficit:
+            base[g] += 1
+    quota = {g: min(b, counts[g]) for g, b in base.items()}
+    assert {g: len(v) for g, v in per.items()} == quota
+    assert sum(quota.values()) == n_total
+    # sqrt-tempering up-weights the rare group vs its natural share
+    assert quota["rare"] / n_total > counts["rare"] / sum(counts.values())
+    h = lambda v: int(_hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+    for g, keys in per.items():
+        pool = [k for k, gg in rows if gg == g]
+        expect = sorted(pool, key=lambda k: (h(k), k))[: quota[g]]
+        assert sorted(keys) == sorted(expect)
+    # partitioning-independent
+    again = {(r.g, r.k) for r in temperature_sample(
+        df.repartition(7), "g", n_total=n_total, key_col="k").collect()}
+    assert {(g, k) for g, v in per.items() for k in v} == again
+
+
+def test_temperature_sample_caps_at_group_size(spark):
+    """A group smaller than its quota keeps all its rows (no
+    redistribution), so the total can undershoot n_total — documented."""
+    from dp_data_quality_spark.ops.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(100)] + [(500, "one")]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = temperature_sample(df, "g", n_total=50, key_col="k").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.g, []).append(r.k)
+    assert got["one"] == [500]  # capped at its size
+    assert len(got["big"]) <= 50
+
+
 def test_connected_components_chain_and_clique(spark):
     """Min-label propagation vs a pure-Python union-find: a 7-node chain
     (needs multiple propagation rounds — label 1 travels one hop per
