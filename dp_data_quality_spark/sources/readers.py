@@ -32,11 +32,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet, built into Spark (no extra
+    package); predicate pushdown and column pruning apply the same way,
+    so lake tables stored as ORC plug into every operator unchanged."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the ``spark-avro`` package on the cluster
+    classpath (it ships with most distros but is NOT bundled in
+    pyspark's default jars); raises a clear error when absent."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # AnalysisException: failed to find source
+        if "avro" in str(exc).lower():
+            raise NotImplementedError(
+                "Avro needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<ver>)"
+            ) from exc
+        raise
+
+
 _DISPATCH = {
     "csv": read_csv,
     "json": read_json,
     "txt": read_json,  # read_data.py:37-38
     "parquet": read_parquet,
+    "orc": read_orc,
+    "avro": read_avro,
 }
 
 
