@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from dp_data_quality_spark.config import ColumnSpec, FilterConfig, RulesConfig
 from dp_data_quality_spark.ops import dedup as D
 from dp_data_quality_spark.ops import hashing as HS
+from dp_data_quality_spark.ops import lm as LM
 from dp_data_quality_spark.ops import multimodal as MM
 from dp_data_quality_spark.ops import similarity as SIM
 from dp_data_quality_spark.ops import textstats as TS
@@ -1242,6 +1243,78 @@ ranked AS (
   FROM counts
 )
 SELECT shingle, doc_freq, rank FROM ranked WHERE rank <= 20
+"""
+
+
+LM_TOP_BIGRAMS = 50
+
+
+def q_lm_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 trained word-bigram conditional counts over the dup
+    corpus — the train half of the in-engine LM (`ops/lm.py`)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    counts, totals, _vocab = LM.train_word_lm(corpus)
+    return (
+        counts.join(totals, "prefix")
+        .orderBy(F.desc("cnt"), F.asc("prefix"), F.asc("token"))
+        .limit(LM_TOP_BIGRAMS)
+        .select("prefix", "token", "cnt", "prefix_cnt")
+    )
+
+
+def q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer-exact fluency scores against the
+    corpus-trained word-bigram LM — the score half (`ops/lm.py`)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    counts, totals, vocab = LM.train_word_lm(corpus)
+    v = LM.get_vocab_size(vocab)
+    return LM.fluency_scores(corpus, counts, totals, v)
+
+
+def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics + the in-engine word-bigram LM as one
+    tagged panel (tag, key, a, b — all counts BIGINT):
+
+    - ``docfreq``  — top-20 word-3-gram document frequencies
+      (a = doc_freq, b = rank), the boilerplate/contamination panel;
+    - ``lm_cond``  — top-50 trained conditional bigram counts
+      (key = 'prefix token', a = cnt, b = prefix_cnt) — gates training;
+    - ``lm_score`` — per-doc fluency (a = inv_sum, b = n_trans) — gates
+      scoring, train→score end-to-end from raw text."""
+    df = q_corpus_ngrams(spark, sf_dir).select(
+        F.lit("docfreq").alias("tag"),
+        F.col("shingle").alias("key"),
+        F.col("doc_freq").cast("long").alias("a"),
+        F.col("rank").cast("long").alias("b"),
+    )
+    bg = q_lm_bigrams(spark, sf_dir).select(
+        F.lit("lm_cond").alias("tag"),
+        F.concat_ws(" ", "prefix", "token").alias("key"),
+        F.col("cnt").cast("long").alias("a"),
+        F.col("prefix_cnt").cast("long").alias("b"),
+    )
+    sc = q_lm_fluency(spark, sf_dir).select(
+        F.lit("lm_score").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("inv_sum").alias("a"),
+        F.col("n_trans").alias("b"),
+    )
+    return df.unionByName(bg).unionByName(sc)
+
+
+def _sql_corpus_ngrams_panel() -> str:
+    return f"""
+SELECT 'docfreq' AS tag, shingle AS key,
+       CAST(doc_freq AS BIGINT) AS a, CAST(rank AS BIGINT) AS b
+FROM ({_sql_corpus_ngrams()})
+UNION ALL
+SELECT 'lm_cond' AS tag, prefix || ' ' || token AS key, cnt AS a, prefix_cnt AS b
+FROM ({LM.sql_top_bigrams(_DUP_CORPUS_SQL, LM_TOP_BIGRAMS)})
+UNION ALL
+SELECT 'lm_score' AS tag, CAST(doc_id AS VARCHAR) AS key, inv_sum AS a, n_trans AS b
+FROM ({LM.sql_fluency_scores(_DUP_CORPUS_SQL)})
 """
 
 
@@ -3507,7 +3580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_langmix": q_conversation_langmix,
         "dedup_exact": q_dedup_exact,
         "neardup_pairs": q_neardup_pairs,
-        "corpus_ngrams": q_corpus_ngrams,
+        "corpus_ngrams": q_corpus_ngrams_panel,
         "dataset_split": q_dataset_split,
         "signature_panel": q_signature_panel,
         "dedup_components": q_dedup_components,
@@ -3562,7 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "conversation_langmix": _sql_conversation_langmix(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "neardup_pairs": _sql_neardup_pairs(),
-        "corpus_ngrams": _sql_corpus_ngrams(),
+        "corpus_ngrams": _sql_corpus_ngrams_panel(),
         "dataset_split": _sql_dataset_split(),
         "signature_panel": _sql_signature_panel(),
         "dedup_components": SQL_DEDUP_COMPONENTS,

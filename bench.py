@@ -99,6 +99,8 @@ BENCH_QUERIES_EXTRA = [
     "image_resize",
     "frame_sample",
     "mjpeg_frame_decode",
+    "lm_bigrams",
+    "lm_fluency",
 ]
 
 

@@ -174,3 +174,18 @@ def rowwise_ngram_stats(
     else:
         sums[empty, :] = 0.0
     return sums, counts
+
+
+def bucket_counts(buf: np.ndarray, n: int) -> np.ndarray:
+    """Masked n-gram bucket histogram over a NUL-separated batch buffer:
+    ``np.bincount`` of ``hash_ngrams`` restricted to windows containing
+    no NUL separator (so no n-gram crosses a row boundary).  Returns an
+    (N_BUCKETS,) int64 vector — the per-batch partial count a
+    distributed LM trainer aggregates (functions/perplexity.py)."""
+    idx = hash_ngrams(buf, n)
+    if idx.size == 0:
+        return np.zeros(N_BUCKETS, dtype=np.int64)
+    valid = np.ones(idx.size, dtype=bool)
+    for k in range(n):
+        valid &= buf[k : len(buf) - n + 1 + k] != 0
+    return np.bincount(idx[valid], minlength=N_BUCKETS)

@@ -28,15 +28,59 @@ _ALPHA = 0.1
 PPL_UNSCORABLE = 1e9  # texts shorter than one n-gram
 
 
+def table_from_counts(counts: np.ndarray) -> np.ndarray:
+    """Add-alpha normalize an (N_BUCKETS,) count vector into the float32
+    log-prob table the scorer broadcasts.  Pure float64 arithmetic over
+    exact integer counts, so any two trainings that agree on counts
+    agree bit-for-bit on the table (the distributed-parity invariant)."""
+    counts = counts.astype(np.float64)
+    probs = (counts + _ALPHA) / (counts.sum() + _ALPHA * ngram.N_BUCKETS)
+    return np.log(probs).astype(np.float32)
+
+
 def _train_table() -> np.ndarray:
     """(N_BUCKETS,) float32 log P(bucket) for English."""
     words = LANG_VOCAB["en"]
     corpus = " ".join(words) + ". " + " ".join(reversed(words)) + "."
     buf = np.frombuffer(corpus.encode("utf-8"), dtype=np.uint8)
     idx = ngram.hash_ngrams(buf, NGRAM)
-    counts = np.bincount(idx, minlength=ngram.N_BUCKETS).astype(np.float64)
-    probs = (counts + _ALPHA) / (counts.sum() + _ALPHA * ngram.N_BUCKETS)
-    return np.log(probs).astype(np.float32)
+    return table_from_counts(np.bincount(idx, minlength=ngram.N_BUCKETS))
+
+
+def train_table_distributed(df, text_col: str = "text") -> np.ndarray:
+    """Train the hashed byte-4-gram log-prob table FROM a corpus
+    DataFrame, distributed — the in-engine counterpart of the hermetic
+    import-time model, so the pipeline's fluency gate can be fit on the
+    data it will filter (the KenLM-style train step of the north rule).
+
+    Each Arrow batch runs the same ``encode_batch``/``hash_ngrams``
+    kernel the scorer uses and emits its non-zero (bucket, cnt) partial
+    histogram; one map-side-combinable groupBy sums them (≤ N_BUCKETS
+    rows per task cross the shuffle, independent of corpus size), and
+    the driver collects at most N_BUCKETS = 2¹⁶ rows — model-sized, not
+    data-sized — to finish the add-alpha normalize.  Counts are exact
+    integers, so the result is bit-identical to a single-process
+    training over the same rows regardless of partitioning (pytest
+    parity-gated)."""
+    def emit(batches):
+        for pdf in batches:
+            buf, _offsets, _lengths = ngram.encode_batch(pdf[text_col].tolist())
+            c = ngram.bucket_counts(buf, NGRAM)
+            nz = np.flatnonzero(c)
+            if nz.size:
+                yield pd.DataFrame({"bucket": nz.astype("int32"), "cnt": c[nz]})
+
+    rows = (
+        df.select(text_col)
+        .mapInPandas(emit, schema="bucket int, cnt long")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    counts = np.zeros(ngram.N_BUCKETS, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["cnt"]
+    return table_from_counts(counts)
 
 
 _TABLE = _train_table()
@@ -55,8 +99,8 @@ def ppl_from_buffer(buf, offsets, table: np.ndarray) -> pd.Series:
     return pd.Series(ppl)
 
 
-def make_ppl_udf(spark: SparkSession):
-    bc = spark.sparkContext.broadcast(_TABLE)
+def make_ppl_udf(spark: SparkSession, table: np.ndarray | None = None):
+    bc = spark.sparkContext.broadcast(_TABLE if table is None else table)
 
     @F.pandas_udf(T.DoubleType())
     def ppl_udf(texts: pd.Series) -> pd.Series:
@@ -77,16 +121,18 @@ _FUSED_TYPE = T.StructType([
 ])
 
 
-def make_scorer_udf(spark: SparkSession):
+def make_scorer_udf(spark: SparkSession, ppl_table: np.ndarray | None = None):
     """Single pandas UDF returning struct<lang, lang_conf, ppl, n_words,
     repetition_ratio> — the text crosses the JVM↔Arrow boundary once per
-    batch and is UTF-8-encoded once per batch."""
+    batch and is UTF-8-encoded once per batch.  ``ppl_table`` overrides
+    the import-time hermetic model with a corpus-trained one
+    (``train_table_distributed``)."""
     from . import ngram
     from .langid import _TABLE as LANG_TABLE
     from .langid import score_from_buffer
 
     bc_lang = spark.sparkContext.broadcast(LANG_TABLE)
-    bc_ppl = spark.sparkContext.broadcast(_TABLE)
+    bc_ppl = spark.sparkContext.broadcast(_TABLE if ppl_table is None else ppl_table)
 
     @F.pandas_udf(_FUSED_TYPE)
     def scorer_udf(texts: pd.Series) -> pd.DataFrame:

@@ -61,11 +61,14 @@ def score_turns(
     spark: SparkSession,
     cfg: FilterConfig | None = None,
     text_col: str = "text",
+    ppl_table=None,
 ) -> DataFrame:
     """Add lang, lang_conf, ppl, heuristic columns, drop_reasons, keep and
-    scrubbed_text in a single pass."""
+    scrubbed_text in a single pass.  ``ppl_table`` swaps the hermetic
+    import-time perplexity model for a corpus-trained one (numpy array
+    from ``functions.perplexity.train_table_distributed``)."""
     cfg = cfg or FilterConfig()
-    scorer = make_scorer_udf(spark)
+    scorer = make_scorer_udf(spark, ppl_table=ppl_table)
 
     # UDF first, heuristics second: every non-UDF column is buffered
     # JVM-side while batches round-trip through Python, so the Arrow
@@ -149,6 +152,7 @@ def run_pipeline(
     run_id: str = "run-0",
     resume: bool = True,
     snapshot_id: str | None = None,
+    ppl_table=None,
 ) -> PipelineResult:
     """Score + filter + scrub ``input_df`` (input_hint schema), writing:
 
@@ -198,7 +202,7 @@ def run_pipeline(
     # write needs no second shuffle.
     df = df.repartition(n_buckets, "bucket")
 
-    scored = score_turns(df, spark, cfg)
+    scored = score_turns(df, spark, cfg, ppl_table=ppl_table)
 
     if cfg.conv_min_keep_frac > 0:
         # Conversation-level demotion costs exactly ONE extra shuffle,

@@ -1,0 +1,184 @@
+"""In-engine LM: word-bigram train/score (ops/lm.py) and the
+distributed hashed byte-4-gram perplexity-table training
+(functions/perplexity.py:train_table_distributed).
+
+The reference has no LM (its fluency notion is the rule battery); these
+gates pin the engine's two LM paths against obviously-correct
+references: a pure-Python model for the word-level path and the
+single-process numpy training for the hashed path."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from dp_data_quality_spark.functions import ngram
+from dp_data_quality_spark.functions import perplexity as P
+from dp_data_quality_spark.ops import lm
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran"),
+    (3, "  The  CAT sat "),          # normalize parity: case + whitespace
+    (4, "solo"),                      # < 2 words → no score row
+    (5, None),                        # null text → no score row
+    (6, "the dog sat on the mat"),
+    (7, ""),                          # empty text → no score row
+    (8, "zzz unseen words entirely"),  # hits the smoothing floor
+]
+
+
+def _toks(t):
+    if not t:
+        return []
+    return [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+
+
+def _reference_scores(rows, scale=lm.SCALE):
+    cnt, tot, vocab = Counter(), Counter(), set()
+    for _, t in rows:
+        ws = _toks(t)
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cnt[(a, b)] += 1
+            tot[a] += 1
+    v = len(vocab)
+    out = {}
+    for did, t in rows:
+        ws = _toks(t)
+        trans = list(zip(ws, ws[1:]))
+        if not trans:
+            continue
+        s = sum(
+            (scale * (tot.get(a, 0) + v)) // (cnt.get((a, b), 0) + 1)
+            for a, b in trans
+        )
+        out[did] = (s, len(trans))
+    return out, v
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_fluency_matches_pure_python(spark, docs_df):
+    counts, totals, vocab = lm.train_word_lm(docs_df)
+    v = lm.get_vocab_size(vocab)
+    ref, v_ref = _reference_scores(DOCS)
+    assert v == v_ref
+    got = {
+        r["doc_id"]: (r["inv_sum"], r["n_trans"])
+        for r in lm.fluency_scores(docs_df, counts, totals, v).collect()
+    }
+    assert got == ref  # short/null/empty docs emit no row
+
+
+def test_fluency_partitioning_invariant(spark, docs_df):
+    """Integer sums are order-independent: any repartitioning yields the
+    identical result (the no-float-summation-hazard claim)."""
+    counts, totals, vocab = lm.train_word_lm(docs_df)
+    v = lm.get_vocab_size(vocab)
+    base = sorted(
+        map(tuple, lm.fluency_scores(docs_df, counts, totals, v).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            lm.fluency_scores(
+                docs_df.repartition(7), counts, totals, v, broadcast_model=False
+            ).collect(),
+        )
+    )
+    assert base == shuffled
+
+
+def test_fluency_duckdb_twin(spark, docs_df):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
+    oracle = sorted(
+        con.sql(
+            lm.sql_fluency_scores("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    counts, totals, vocab = lm.train_word_lm(docs_df)
+    v = lm.get_vocab_size(vocab)
+    got = sorted(map(tuple, lm.fluency_scores(docs_df, counts, totals, v).collect()))
+    assert got == oracle
+
+    top = sorted(
+        con.sql(lm.sql_top_bigrams("SELECT doc_id, text FROM docs", 5)).fetchall()
+    )
+    engine_top = sorted(
+        map(
+            tuple,
+            counts.join(totals, "prefix")
+            .orderBy(counts.cnt.desc(), counts.prefix.asc(), counts.token.asc())
+            .limit(5)
+            .select("prefix", "token", "cnt", "prefix_cnt")
+            .collect(),
+        )
+    )
+    assert engine_top == top
+
+
+def test_unseen_text_scores_worse(spark, docs_df):
+    """A doc of entirely-unseen transitions must score strictly higher
+    (less fluent) per transition than an in-distribution doc."""
+    counts, totals, vocab = lm.train_word_lm(docs_df)
+    v = lm.get_vocab_size(vocab)
+    got = {
+        r["doc_id"]: r["inv_sum"] / r["n_trans"]
+        for r in lm.fluency_scores(docs_df, counts, totals, v).collect()
+    }
+    assert got[8] > got[1]
+
+
+# --- distributed hashed-4-gram table training ------------------------------
+
+
+def test_train_table_distributed_matches_local(spark):
+    """Distributed training is bit-identical to single-process numpy
+    counting over the same rows, regardless of partitioning."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        None,
+        "",
+        "short",
+        "sphinx of black quartz judge my vow " * 3,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    buf, _off, _len = ngram.encode_batch(texts)
+    local_counts = ngram.bucket_counts(buf, P.NGRAM)
+    expected = P.table_from_counts(local_counts)
+
+    for parts in (1, 5):
+        got = P.train_table_distributed(df.repartition(parts))
+        assert got.dtype == np.float32
+        assert np.array_equal(got, expected)
+
+
+def test_trained_table_drives_scorer(spark):
+    """score_turns accepts a corpus-trained ppl table: in-domain text
+    scores lower perplexity under a model trained on it than under the
+    hermetic import-time model trained on unrelated vocabulary."""
+    from dp_data_quality_spark.pipeline import score_turns
+
+    corpus = ["alpha beta gamma delta epsilon zeta " * 4] * 8
+    cdf = spark.createDataFrame([(t,) for t in corpus], "text string")
+    table = P.train_table_distributed(cdf)
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "alpha beta gamma delta epsilon zeta", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ppl_trained = score_turns(turns, spark, ppl_table=table).collect()[0]["ppl"]
+    ppl_default = score_turns(turns, spark).collect()[0]["ppl"]
+    assert ppl_trained < ppl_default

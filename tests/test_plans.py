@@ -130,3 +130,17 @@ def test_pack_conversations_single_exchange_one_python_stage(spark):
     assert len(conv_ex) == 1, exchanges
     assert plan.count("MapInPandas") == 1, plan
     assert "ArrowEvalPython" not in plan, plan  # no scalar Python UDFs
+
+
+def test_lm_fluency_broadcasts_model_no_python(spark):
+    # the in-engine word-bigram LM: both model joins must broadcast
+    # (the model is vocabulary-sized, the probe side is the corpus
+    # token stream), every aggregation must have a map-side partial,
+    # and the whole train→score plan stays JVM-side
+    plan = _plan(spark, "lm_fluency")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
