@@ -1273,16 +1273,61 @@ def q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.fluency_scores(corpus, counts, totals, v)
 
 
-def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus n-gram statistics + the in-engine word-bigram LM as one
-    tagged panel (tag, key, a, b — all counts BIGINT):
+_LM_TARGET_SQL = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+_NB_LABELED_SQL = (
+    "SELECT doc_id, text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label "
+    "FROM documents"
+)
 
-    - ``docfreq``  — top-20 word-3-gram document frequencies
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights: the dup corpus
+    scored by a target-domain (English documents) unigram model vs its
+    own raw model — quantized integer log-likelihood ratios
+    (`ops/lm.py:importance_scores`)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    target = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+    v, tt, tr = LM.importance_stats(corpus, target)
+    return LM.importance_scores(corpus, target, v, tt, tr)
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine Naive-Bayes quality classifier, distilled from an
+    SQL-derivable label (lang='en') and scoring the dup corpus —
+    quantized integer log-posterior ratios (`ops/lm.py:nb_scores`)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    v = LM.nb_vocab_size(labeled)
+    return LM.nb_scores(corpus, labeled, v)
+
+
+def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics + the in-engine log-domain scorers as
+    one tagged panel (tag, key, a, b — all counts BIGINT):
+
+    - ``docfreq``    — top-20 word-3-gram document frequencies
       (a = doc_freq, b = rank), the boilerplate/contamination panel;
-    - ``lm_cond``  — top-50 trained conditional bigram counts
+    - ``lm_cond``    — top-50 trained conditional bigram counts
       (key = 'prefix token', a = cnt, b = prefix_cnt) — gates training;
-    - ``lm_score`` — per-doc fluency (a = inv_sum, b = n_trans) — gates
-      scoring, train→score end-to-end from raw text."""
+    - ``lm_score``   — per-doc fluency (a = inv_sum, b = n_trans) —
+      gates scoring, train→score end-to-end from raw text;
+    - ``importance`` — DSIR-style quantized log-likelihood-ratio
+      weights vs the English-documents target model (a = ilr_sum,
+      b = n_tokens);
+    - ``nb``         — Naive-Bayes quality-classifier log-posterior
+      ratios distilled from the lang='en' label (a = llr_sum,
+      b = n_tokens)."""
     df = q_corpus_ngrams(spark, sf_dir).select(
         F.lit("docfreq").alias("tag"),
         F.col("shingle").alias("key"),
@@ -1301,7 +1346,19 @@ def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inv_sum").alias("a"),
         F.col("n_trans").alias("b"),
     )
-    return df.unionByName(bg).unionByName(sc)
+    iw = q_importance_weights(spark, sf_dir).select(
+        F.lit("importance").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("ilr_sum").alias("a"),
+        F.col("n_tokens").alias("b"),
+    )
+    nb = q_nb_quality(spark, sf_dir).select(
+        F.lit("nb").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("llr_sum").alias("a"),
+        F.col("n_tokens").alias("b"),
+    )
+    return df.unionByName(bg).unionByName(sc).unionByName(iw).unionByName(nb)
 
 
 def _sql_corpus_ngrams_panel() -> str:
@@ -1315,6 +1372,12 @@ FROM ({LM.sql_top_bigrams(_DUP_CORPUS_SQL, LM_TOP_BIGRAMS)})
 UNION ALL
 SELECT 'lm_score' AS tag, CAST(doc_id AS VARCHAR) AS key, inv_sum AS a, n_trans AS b
 FROM ({LM.sql_fluency_scores(_DUP_CORPUS_SQL)})
+UNION ALL
+SELECT 'importance' AS tag, CAST(doc_id AS VARCHAR) AS key, ilr_sum AS a, n_tokens AS b
+FROM ({LM.sql_importance_scores(_DUP_CORPUS_SQL, _LM_TARGET_SQL)})
+UNION ALL
+SELECT 'nb' AS tag, CAST(doc_id AS VARCHAR) AS key, llr_sum AS a, n_tokens AS b
+FROM ({LM.sql_nb_scores(_DUP_CORPUS_SQL, _NB_LABELED_SQL)})
 """
 
 

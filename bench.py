@@ -101,6 +101,8 @@ BENCH_QUERIES_EXTRA = [
     "mjpeg_frame_decode",
     "lm_bigrams",
     "lm_fluency",
+    "importance_weights",
+    "nb_quality",
 ]
 
 

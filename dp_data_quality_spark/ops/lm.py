@@ -150,6 +150,204 @@ def get_vocab_size(vocab: DataFrame) -> int:
     return int(vocab.collect()[0]["v"])
 
 
+# --- integer-exact quantized log2 ------------------------------------------
+# Log-domain scoring (importance weights, classifier posteriors) needs a
+# log both engines compute IDENTICALLY.  ln/log2 on doubles can differ
+# in the last ulp between the JVM and libm, so instead:
+#
+#     qlog2(m) = S·ilog2(m) + (m·S) div 2^ilog2(m) − S,   S = 256
+#
+# ilog2 = bit-length − 1, computed exactly from the binary-string length
+# (`conv(m,10,2)` / `format('{:b}',m)`).  This is S·log2(m) with the
+# mantissa linearly interpolated between powers of two — monotone,
+# ≤ 0.09-bit bias vs true log2, pure BIGINT ops, bit-identical across
+# engines (pytest-pinned).  Safe for m up to ~2^55/S (10¹³ at S=256).
+
+QLOG_SCALE = 256
+
+
+def qlog2_py(m: int, scale: int = QLOG_SCALE) -> int:
+    """Pure-Python reference of the shared quantized log2."""
+    k = m.bit_length() - 1
+    return scale * k + (m * scale) // (1 << k) - scale
+
+
+def qlog2_spark(col_sql: str, scale: int = QLOG_SCALE) -> str:
+    """Spark SQL fragment: quantized log2 of a positive BIGINT expr."""
+    k = f"(length(conv({col_sql}, 10, 2)) - 1)"
+    return (
+        f"CAST({scale} * {k} + (({col_sql}) * {scale}) div "
+        f"shiftleft(CAST(1 AS BIGINT), {k}) - {scale} AS BIGINT)"
+    )
+
+
+def qlog2_duckdb(col_sql: str, scale: int = QLOG_SCALE) -> str:
+    """DuckDB fragment computing the identical value."""
+    k = f"(length(format('{{:b}}', {col_sql})) - 1)"
+    return (
+        f"CAST({scale} * {k} + (({col_sql}) * {scale}) // "
+        f"(CAST(1 AS BIGINT) << {k}) - {scale} AS BIGINT)"
+    )
+
+
+# --- unigram models ---------------------------------------------------------
+
+
+def unigram_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(word, cnt) unigram counts — one map-side-combinable shuffle of
+    the token stream."""
+    return (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+
+
+def importance_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    vocab_size: int,
+    target_total: int,
+    raw_total: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights: per raw document,
+    the quantized log-likelihood ratio of its unigrams under a TARGET
+    (in-domain) corpus model vs the RAW corpus model —
+
+        ilr_sum = Σ_w [qlog2(cnt_t(w)+1) − qlog2(T_t+V)]
+                      − [qlog2(cnt_r(w)+1) − qlog2(T_r+V)]
+
+    (add-1 smoothing; V = union vocabulary, T = corpus token totals —
+    scalars collected once, model-sized).  Docs scoring high look more
+    like the target domain than the raw average — the published DSIR
+    recipe's estimator with hashed features replaced by raw unigrams so
+    DuckDB can replay it exactly; production resampling would add
+    seeded Gumbel noise on top of ilr_sum, which changes ranks, not
+    these gated sums.  Output (doc_id, ilr_sum, n_tokens); token-less
+    docs emit no row.  Plan: token stream left-joins two broadcastable
+    unigram models; one groupBy — the fluency_scores shape."""
+    tw = _doc_words(raw, id_col, text_col)
+    t_counts = unigram_counts(target, id_col, text_col).withColumnRenamed(
+        "cnt", "cnt_t"
+    )
+    r_counts = unigram_counts(raw, id_col, text_col).withColumnRenamed(
+        "cnt", "cnt_r"
+    )
+    if broadcast_model:
+        t_counts, r_counts = F.broadcast(t_counts), F.broadcast(r_counts)
+    const = (
+        qlog2_py(int(raw_total) + int(vocab_size))
+        - qlog2_py(int(target_total) + int(vocab_size))
+    )
+    contrib = (
+        f"{qlog2_spark('COALESCE(cnt_t, CAST(0 AS BIGINT)) + 1')} - "
+        f"{qlog2_spark('COALESCE(cnt_r, CAST(0 AS BIGINT)) + 1')} + "
+        f"CAST({const} AS BIGINT)"
+    )
+    return (
+        tw.join(t_counts, "word", "left")
+        .join(r_counts, "word", "left")
+        .select("doc_id", F.expr(contrib).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("ilr_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def nb_scores(
+    docs: DataFrame,
+    labeled: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """In-engine Naive-Bayes quality classifier — the trained-classifier
+    stage of a web-scale filter (the fastText-classifier analog of the
+    CCNet/GPT-3 pipelines), distilled from whatever produced ``label``
+    (the pipeline's heuristic keep/drop in the pytest; any SQL-derivable
+    label in the oracle query).
+
+    Train: per-class unigram counts over ``labeled`` (label ∈ {0,1}) —
+    one combinable shuffle.  Score: per document the quantized
+    log-posterior ratio
+
+        llr_sum = [qlog2(n₁) − qlog2(n₀)]                       (prior)
+                + Σ_w [qlog2(c₁(w)+1) − qlog2(C₁+V)]
+                     − [qlog2(c₀(w)+1) − qlog2(C₀+V)]
+
+    with add-1 smoothing — llr_sum > 0 ⇒ class 1 (keep).  All BIGINT;
+    order-independent; DuckDB-replayable.  Output (doc_id, llr_sum,
+    n_tokens).  Plan: token stream left-joins one broadcastable
+    (word → c₀,c₁) model; one groupBy."""
+    lw = _doc_words(labeled, id_col, text_col).join(
+        labeled.select(
+            F.col(id_col).alias("doc_id"), F.col(label_col).alias("__lbl")
+        ),
+        "doc_id",
+    )
+    model = lw.groupBy("word").agg(
+        F.sum(F.when(F.col("__lbl") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("__lbl") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+    )
+    # bounded scalar collects: class priors + token totals (model-sized)
+    agg = labeled.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    ).collect()[0]
+    tot = model.agg(
+        F.sum("c1").cast("long").alias("t1"), F.sum("c0").cast("long").alias("t0")
+    ).collect()[0]
+    v = int(vocab_size)
+    prior = qlog2_py(max(int(agg["n1"]), 1)) - qlog2_py(max(int(agg["n0"]), 1))
+    # the smoothing denominators are per-token terms: Σ_w −qlog2(C₁+V)
+    # +qlog2(C₀+V) = n_tokens · per_tok
+    per_tok = qlog2_py(int(tot["t0"] or 0) + v) - qlog2_py(int(tot["t1"] or 0) + v)
+    if broadcast_model:
+        model = F.broadcast(model)
+    contrib = (
+        f"{qlog2_spark('COALESCE(c1, CAST(0 AS BIGINT)) + 1')} - "
+        f"{qlog2_spark('COALESCE(c0, CAST(0 AS BIGINT)) + 1')}"
+    )
+    return (
+        _doc_words(docs, id_col, text_col)
+        .join(model, "word", "left")
+        .select("doc_id", F.expr(contrib).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("__s")
+                + F.lit(int(prior))
+                + F.col("n_tokens") * F.lit(int(per_tok))
+            ).cast("long").alias("llr_sum"),
+            "n_tokens",
+        )
+    )
+
+
 # --- DuckDB oracle twins ---------------------------------------------------
 # Every engine step replayed in ANSI-ish SQL: same normalize, same
 # tokenize, same integer arithmetic.  ``corpus_sql`` must select
@@ -203,6 +401,115 @@ LEFT JOIN counts c USING (prefix, token)
 LEFT JOIN totals tt USING (prefix)
 CROSS JOIN vocab v
 GROUP BY 1
+"""
+
+
+def importance_stats(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int, int]:
+    """(V, target_total, raw_total) for ``importance_scores`` — V is the
+    UNION vocabulary of both corpora.  Three bounded scalar aggregates."""
+    rw = _doc_words(raw, id_col, text_col)
+    tw = _doc_words(target, id_col, text_col)
+    v = (
+        rw.select("word")
+        .unionByName(tw.select("word"))
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+        .collect()[0]["v"]
+    )
+    tt = tw.agg(F.count(F.lit(1)).cast("long").alias("t")).collect()[0]["t"]
+    tr = rw.agg(F.count(F.lit(1)).cast("long").alias("t")).collect()[0]["t"]
+    return int(v), int(tt), int(tr)
+
+
+def nb_vocab_size(
+    labeled: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> int:
+    """V for ``nb_scores`` — distinct words of the labeled corpus."""
+    return int(
+        _doc_words(labeled, id_col, text_col)
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+_SQL_WORDS = (
+    "SELECT doc_id, unnest(list_filter(string_split("
+    + _SQL_NORMALIZE.format(c="text")
+    + ", ' '), x -> len(x) > 0)) AS word FROM {src}"
+)
+
+
+def sql_importance_scores(raw_sql: str, target_sql: str) -> str:
+    """DuckDB replay of ``importance_scores`` with stats derived from
+    the same two corpora."""
+    q = qlog2_duckdb
+    return f"""
+WITH rawc AS ({raw_sql}),
+tgtc AS ({target_sql}),
+rw AS ({_SQL_WORDS.format(src='rawc')}),
+tw AS ({_SQL_WORDS.format(src='tgtc')}),
+rcnt AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt_r FROM rw GROUP BY 1),
+tcnt AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt_t FROM tw GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+          FROM (SELECT word FROM rw UNION ALL SELECT word FROM tw)),
+tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM tw) AS tt,
+                (SELECT CAST(count(*) AS BIGINT) FROM rw) AS tr),
+base AS (
+  SELECT rw.doc_id,
+         CAST(SUM({q('COALESCE(cnt_t, 0) + 1')} - {q('COALESCE(cnt_r, 0) + 1')}) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM rw LEFT JOIN tcnt USING (word) LEFT JOIN rcnt USING (word)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.s + b.n_tokens * ({q('tr + v')} - {q('tt + v')}) AS BIGINT) AS ilr_sum,
+       b.n_tokens
+FROM base b CROSS JOIN vocab CROSS JOIN tots
+"""
+
+
+def sql_nb_scores(docs_sql: str, labeled_sql: str) -> str:
+    """DuckDB replay of ``nb_scores``; ``labeled_sql`` must select
+    (doc_id, text, label) with label ∈ {0,1}."""
+    q = qlog2_duckdb
+    return f"""
+WITH nb_docs AS ({docs_sql}),
+nb_lab AS ({labeled_sql}),
+dw AS ({_SQL_WORDS.format(src='nb_docs')}),
+lw AS (
+  SELECT w.doc_id, w.word, nb_lab.label
+  FROM ({_SQL_WORDS.format(src='nb_lab')}) w JOIN nb_lab USING (doc_id)
+),
+model AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM lw GROUP BY 1
+),
+pri AS (
+  SELECT CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM nb_lab
+),
+tot AS (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) AS t1,
+               CAST(COALESCE(SUM(c0), 0) AS BIGINT) AS t0 FROM model),
+vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM lw),
+base AS (
+  SELECT dw.doc_id,
+         CAST(SUM({q('COALESCE(c1, 0) + 1')} - {q('COALESCE(c0, 0) + 1')}) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM dw LEFT JOIN model USING (word)
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.s + ({q('greatest(n1, 1)')} - {q('greatest(n0, 1)')})
+            + b.n_tokens * ({q('t0 + v')} - {q('t1 + v')}) AS BIGINT) AS llr_sum,
+       b.n_tokens
+FROM base b CROSS JOIN pri CROSS JOIN tot CROSS JOIN vocab
 """
 
 

@@ -182,3 +182,160 @@ def test_trained_table_drives_scorer(spark):
     ppl_trained = score_turns(turns, spark, ppl_table=table).collect()[0]["ppl"]
     ppl_default = score_turns(turns, spark).collect()[0]["ppl"]
     assert ppl_trained < ppl_default
+
+
+# --- quantized log2 + log-domain scorers ------------------------------------
+
+IMP_TGT = [
+    (10, "the cat sat quietly"),
+    (11, "the dog ran in the park"),
+    (12, "a cat and a dog"),
+]
+NB_LABELED = [
+    (1, "the cat sat on the mat", 1),
+    (2, "buy cheap pills now now now", 0),
+    (3, "the dog ran in the park", 1),
+    (4, "zz qq xx", 0),
+    (6, "the cat and the dog played in the park", 1),
+]
+
+
+def test_qlog2_cross_engine_parity(spark):
+    """The shared quantized log2 must be bit-identical in pure Python,
+    Spark SQL, and DuckDB — including powers of two and their
+    neighbours, where ilog2 steps."""
+    duckdb = pytest.importorskip("duckdb")
+    vals = sorted(
+        {1, 2, 3}
+        | {2**k + d for k in range(1, 45) for d in (-1, 0, 1)}
+        | {10**k for k in range(13)}
+    )
+    ref = {m: lm.qlog2_py(m) for m in vals}
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "m long")
+    got_spark = {
+        r["m"]: r["q"]
+        for r in df.select("m", F.expr(lm.qlog2_spark("m")).alias("q")).collect()
+    }
+    assert got_spark == ref
+
+    con = duckdb.connect()
+    got_duck = dict(
+        con.sql(
+            f"SELECT m, {lm.qlog2_duckdb('m')} FROM (SELECT unnest({vals}) AS m)"
+        ).fetchall()
+    )
+    assert got_duck == ref
+
+
+def _qref(m):
+    return lm.qlog2_py(m)
+
+
+def test_importance_scores_match_reference_and_twin(spark, docs_df):
+    duckdb = pytest.importorskip("duckdb")
+    tgt_df = spark.createDataFrame(IMP_TGT, "doc_id int, text string")
+
+    rc, tc = Counter(), Counter()
+    for _, t in DOCS:
+        rc.update(_toks(t))
+    for _, t in IMP_TGT:
+        tc.update(_toks(t))
+    v_ref = len(set(rc) | set(tc))
+    tt_ref, tr_ref = sum(tc.values()), sum(rc.values())
+    ref = {}
+    for did, t in DOCS:
+        ws = _toks(t)
+        if not ws:
+            continue
+        s = sum(
+            _qref(tc.get(w, 0) + 1) - _qref(rc.get(w, 0) + 1)
+            + _qref(tr_ref + v_ref) - _qref(tt_ref + v_ref)
+            for w in ws
+        )
+        ref[did] = (s, len(ws))
+
+    v, tt, tr = lm.importance_stats(docs_df, tgt_df)
+    assert (v, tt, tr) == (v_ref, tt_ref, tr_ref)
+    got = {
+        r["doc_id"]: (r["ilr_sum"], r["n_tokens"])
+        for r in lm.importance_scores(docs_df, tgt_df, v, tt, tr).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE raw(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", DOCS)
+    con.sql("CREATE TABLE tgt(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tgt VALUES (?, ?)", IMP_TGT)
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            lm.sql_importance_scores(
+                "SELECT doc_id, text FROM raw", "SELECT doc_id, text FROM tgt"
+            )
+        ).fetchall()
+    }
+    assert duck == ref
+
+
+def test_nb_scores_match_reference_twin_and_separate(spark, docs_df):
+    duckdb = pytest.importorskip("duckdb")
+    lab_df = spark.createDataFrame(NB_LABELED, "doc_id int, text string, label int")
+
+    c1, c0 = Counter(), Counter()
+    n1 = n0 = 0
+    for _, t, l in NB_LABELED:
+        (c1 if l == 1 else c0).update(_toks(t))
+        n1, n0 = n1 + (l == 1), n0 + (l == 0)
+    v_ref = len(set(c1) | set(c0))
+    t1, t0 = sum(c1.values()), sum(c0.values())
+    ref = {}
+    for did, t in DOCS:
+        ws = _toks(t)
+        if not ws:
+            continue
+        s = (
+            _qref(max(n1, 1)) - _qref(max(n0, 1))
+            + sum(_qref(c1.get(w, 0) + 1) - _qref(c0.get(w, 0) + 1) for w in ws)
+            + len(ws) * (_qref(t0 + v_ref) - _qref(t1 + v_ref))
+        )
+        ref[did] = (s, len(ws))
+
+    v = lm.nb_vocab_size(lab_df)
+    assert v == v_ref
+    got = {
+        r["doc_id"]: (r["llr_sum"], r["n_tokens"])
+        for r in lm.nb_scores(docs_df, lab_df, v).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE raw(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO raw VALUES (?, ?)", DOCS)
+    con.sql("CREATE TABLE lab(doc_id INT, text VARCHAR, label INT)")
+    con.executemany("INSERT INTO lab VALUES (?, ?, ?)", NB_LABELED)
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            lm.sql_nb_scores(
+                "SELECT doc_id, text FROM raw",
+                "SELECT doc_id, text, label FROM lab",
+            )
+        ).fetchall()
+    }
+    assert duck == ref
+
+    # the classifier must reproduce its training labels when scoring
+    # the training texts themselves (they dominate their unigram stats)
+    train_docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in NB_LABELED], "doc_id int, text string"
+    )
+    signs = {
+        r["doc_id"]: r["llr_sum"] > 0
+        for r in lm.nb_scores(train_docs, lab_df, v).collect()
+    }
+    for did, _, l in NB_LABELED:
+        assert signs[did] == (l == 1), (did, signs)
