@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from dp_data_quality_spark.config import ColumnSpec, FilterConfig, RulesConfig
 from dp_data_quality_spark.ops import dedup as D
 from dp_data_quality_spark.ops import hashing as HS
+from dp_data_quality_spark.ops import bpe as BPE
 from dp_data_quality_spark.ops import lm as LM
 from dp_data_quality_spark.ops import multimodal as MM
 from dp_data_quality_spark.ops import similarity as SIM
@@ -1310,6 +1311,18 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = LM.nb_vocab_size(labeled)
     return LM.nb_scores(corpus, labeled, v)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 6-merge BPE tokenizer on the documents corpus and count
+    per-document tokens under it (`ops/bpe.py`).  Iterative-argmax
+    training is not SQL-replayable, so this op is pytest-gated against
+    a pure-Python reference (tests/test_bpe.py) and benched here;
+    it is not in the driver registry."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    merges = BPE.train_bpe(docs, 6)
+    return BPE.bpe_token_counts(docs, merges)
 
 
 def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,7 @@ BENCH_QUERIES_EXTRA = [
     "lm_fluency",
     "importance_weights",
     "nb_quality",
+    "bpe_tokens",
 ]
 
 
