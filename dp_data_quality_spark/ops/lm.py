@@ -411,18 +411,25 @@ def importance_stats(
     text_col: str = "text",
 ) -> tuple[int, int, int]:
     """(V, target_total, raw_total) for ``importance_scores`` — V is the
-    UNION vocabulary of both corpora.  Three bounded scalar aggregates."""
-    rw = _doc_words(raw, id_col, text_col)
-    tw = _doc_words(target, id_col, text_col)
-    v = (
-        rw.select("word")
-        .unionByName(tw.select("word"))
-        .agg(F.countDistinct("word").cast("long").alias("v"))
-        .collect()[0]["v"]
+    UNION vocabulary of both corpora.  ONE job, one scan of each corpus:
+    the token streams union with a corpus tag and reduce to a single
+    3-value row."""
+    rw = _doc_words(raw, id_col, text_col).select(
+        "word", F.lit(0).alias("is_t")
     )
-    tt = tw.agg(F.count(F.lit(1)).cast("long").alias("t")).collect()[0]["t"]
-    tr = rw.agg(F.count(F.lit(1)).cast("long").alias("t")).collect()[0]["t"]
-    return int(v), int(tt), int(tr)
+    tw = _doc_words(target, id_col, text_col).select(
+        "word", F.lit(1).alias("is_t")
+    )
+    row = (
+        rw.unionByName(tw)
+        .agg(
+            F.countDistinct("word").cast("long").alias("v"),
+            F.sum("is_t").cast("long").alias("tt"),
+            (F.count(F.lit(1)) - F.sum("is_t")).cast("long").alias("tr"),
+        )
+        .collect()[0]
+    )
+    return int(row["v"]), int(row["tt"]), int(row["tr"])
 
 
 def nb_vocab_size(
