@@ -1347,13 +1347,30 @@ def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_freq").cast("long").alias("a"),
         F.col("rank").cast("long").alias("b"),
     )
-    bg = q_lm_bigrams(spark, sf_dir).select(
-        F.lit("lm_cond").alias("tag"),
-        F.concat_ws(" ", "prefix", "token").alias("key"),
-        F.col("cnt").cast("long").alias("a"),
-        F.col("prefix_cnt").cast("long").alias("b"),
+    # train the word-bigram LM ONCE: localCheckpoint materializes the
+    # model-sized counts so neither panel branch re-shuffles the corpus
+    # token stream (the standalone q_lm_bigrams / q_lm_fluency wrappers
+    # stay for the per-operator bench)
+    corpus = _dup_corpus(spark, sf_dir)
+    counts, _totals, vocab = LM.train_word_lm(corpus)
+    counts = counts.localCheckpoint()
+    totals = counts.groupBy("prefix").agg(
+        F.sum("cnt").cast("long").alias("prefix_cnt")
     )
-    sc = q_lm_fluency(spark, sf_dir).select(
+    bg = (
+        counts.join(totals, "prefix")
+        .orderBy(F.desc("cnt"), F.asc("prefix"), F.asc("token"))
+        .limit(LM_TOP_BIGRAMS)
+        .select(
+            F.lit("lm_cond").alias("tag"),
+            F.concat_ws(" ", "prefix", "token").alias("key"),
+            F.col("cnt").cast("long").alias("a"),
+            F.col("prefix_cnt").cast("long").alias("b"),
+        )
+    )
+    sc = LM.fluency_scores(
+        corpus, counts, totals, LM.get_vocab_size(vocab)
+    ).select(
         F.lit("lm_score").alias("tag"),
         F.col("doc_id").cast("string").alias("key"),
         F.col("inv_sum").alias("a"),

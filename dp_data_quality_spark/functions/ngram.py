@@ -144,10 +144,7 @@ def rowwise_ngram_stats(
             return np.zeros(rows), np.zeros(rows, dtype=np.int64)
         return np.zeros((rows, logprob_table.shape[1])), np.zeros(rows, dtype=np.int64)
 
-    # valid window ⇔ no NUL byte inside
-    valid = np.ones(idx.size, dtype=bool)
-    for k in range(n):
-        valid &= buf[k : len(buf) - n + 1 + k] != 0
+    valid = _valid_windows(buf, n)
 
     # reduceat boundaries in window space (window i starts at byte i);
     # boundaries must stay < idx.size, rows past the end are zeroed below.
@@ -176,16 +173,23 @@ def rowwise_ngram_stats(
     return sums, counts
 
 
+def _valid_windows(buf: np.ndarray, n: int) -> np.ndarray:
+    """Boolean mask over the len(buf)-n+1 windows: True where the
+    window contains no NUL separator (no n-gram crosses a row
+    boundary).  The single definition both the scorer and the
+    distributed trainer mask with."""
+    valid = np.ones(len(buf) - n + 1, dtype=bool)
+    for k in range(n):
+        valid &= buf[k : len(buf) - n + 1 + k] != 0
+    return valid
+
+
 def bucket_counts(buf: np.ndarray, n: int) -> np.ndarray:
     """Masked n-gram bucket histogram over a NUL-separated batch buffer:
-    ``np.bincount`` of ``hash_ngrams`` restricted to windows containing
-    no NUL separator (so no n-gram crosses a row boundary).  Returns an
-    (N_BUCKETS,) int64 vector — the per-batch partial count a
-    distributed LM trainer aggregates (functions/perplexity.py)."""
+    ``np.bincount`` of ``hash_ngrams`` restricted to valid windows.
+    Returns an (N_BUCKETS,) int64 vector — the per-batch partial count
+    a distributed LM trainer aggregates (functions/perplexity.py)."""
     idx = hash_ngrams(buf, n)
     if idx.size == 0:
         return np.zeros(N_BUCKETS, dtype=np.int64)
-    valid = np.ones(idx.size, dtype=bool)
-    for k in range(n):
-        valid &= buf[k : len(buf) - n + 1 + k] != 0
-    return np.bincount(idx[valid], minlength=N_BUCKETS)
+    return np.bincount(idx[_valid_windows(buf, n)], minlength=N_BUCKETS)

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from .lm import unigram_counts
 
 EOW = "▁"  # end-of-word marker appended to a word's last character
 
@@ -40,26 +41,26 @@ EOW = "▁"  # end-of-word marker appended to a word's last character
 def word_frequency_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(word, cnt) — the ONE corpus-scale shuffle of BPE training."""
-    return (
-        df.select(
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
-        )
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    """(word, cnt) — the ONE corpus-scale shuffle of BPE training
+    (the same tokenize-and-count kernel the LM family uses)."""
+    return unigram_counts(df, id_col, text_col)
 
 
-def _initial_tokens(wf: DataFrame) -> DataFrame:
-    """Split each word into single characters, the last one suffixed
-    with the end-of-word marker: (word, tokens, cnt)."""
-    chars = F.expr(
+def _char_tokens_expr():
+    """Column expr splitting ``word`` into single characters, the last
+    one suffixed with the end-of-word marker — BPE's most subtle
+    invariant, defined exactly once (training and encoding both use
+    this)."""
+    return F.expr(
         "transform(sequence(1, length(word)), i -> "
         "IF(i = length(word), concat(substring(word, i, 1), '" + EOW + "'), "
         "substring(word, i, 1)))"
     )
-    return wf.select("word", chars.alias("tokens"), "cnt")
+
+
+def _initial_tokens(wf: DataFrame) -> DataFrame:
+    """(word, tokens, cnt) with the shared character split."""
+    return wf.select("word", _char_tokens_expr().alias("tokens"), "cnt")
 
 
 def _pair_counts(tok: DataFrame) -> DataFrame:
@@ -147,17 +148,14 @@ def bpe_token_counts(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
     ).filter(F.length("word") > 0)
-    chars = F.expr(
-        "transform(sequence(1, length(word)), i -> "
-        "IF(i = length(word), concat(substring(word, i, 1), '" + EOW + "'), "
-        "substring(word, i, 1)))"
-    )
     vocab = (
         words.select("word")
         .distinct()
         .select(
             "word",
-            F.size(apply_merges(chars, merges)).cast("long").alias("n_tok"),
+            F.size(apply_merges(_char_tokens_expr(), merges))
+            .cast("long")
+            .alias("n_tok"),
         )
     )
     return (

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import normalize_text
+from .textstats import sql_words as _sql_words
 
 SCALE = 1_000_000
 
@@ -250,9 +251,11 @@ def importance_scores(
     )
     if broadcast_model:
         t_counts, r_counts = F.broadcast(t_counts), F.broadcast(r_counts)
+    # floor at 1: degenerate token-less corpora must score neutrally,
+    # not crash qlog2's negative-shift path
     const = (
-        qlog2_py(int(raw_total) + int(vocab_size))
-        - qlog2_py(int(target_total) + int(vocab_size))
+        qlog2_py(max(int(raw_total) + int(vocab_size), 1))
+        - qlog2_py(max(int(target_total) + int(vocab_size), 1))
     )
     contrib = (
         f"{qlog2_spark('COALESCE(cnt_t, CAST(0 AS BIGINT)) + 1')} - "
@@ -296,8 +299,11 @@ def nb_scores(
 
     with add-1 smoothing — llr_sum > 0 ⇒ class 1 (keep).  All BIGINT;
     order-independent; DuckDB-replayable.  Output (doc_id, llr_sum,
-    n_tokens).  Plan: token stream left-joins one broadcastable
-    (word → c₀,c₁) model; one groupBy."""
+    n_tokens).  Plan: the labeled corpus is tokenized and shuffled
+    exactly ONCE (the model groupBy, then localCheckpoint so neither
+    the totals collect nor the broadcast join recomputes it); priors
+    read the doc-level label column without tokenizing; scoring
+    left-joins the broadcastable (word → c₀,c₁) model, one groupBy."""
     lw = _doc_words(labeled, id_col, text_col).join(
         labeled.select(
             F.col(id_col).alias("doc_id"), F.col(label_col).alias("__lbl")
@@ -307,7 +313,7 @@ def nb_scores(
     model = lw.groupBy("word").agg(
         F.sum(F.when(F.col("__lbl") == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("__lbl") == 0, 1).otherwise(0)).cast("long").alias("c0"),
-    )
+    ).localCheckpoint()  # train once: totals + score join reuse this
     # bounded scalar collects: class priors + token totals (model-sized)
     agg = labeled.agg(
         F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
@@ -317,10 +323,13 @@ def nb_scores(
         F.sum("c1").cast("long").alias("t1"), F.sum("c0").cast("long").alias("t0")
     ).collect()[0]
     v = int(vocab_size)
-    prior = qlog2_py(max(int(agg["n1"]), 1)) - qlog2_py(max(int(agg["n0"]), 1))
+    prior = qlog2_py(max(int(agg["n1"] or 0), 1)) - qlog2_py(max(int(agg["n0"] or 0), 1))
     # the smoothing denominators are per-token terms: Σ_w −qlog2(C₁+V)
-    # +qlog2(C₀+V) = n_tokens · per_tok
-    per_tok = qlog2_py(int(tot["t0"] or 0) + v) - qlog2_py(int(tot["t1"] or 0) + v)
+    # +qlog2(C₀+V) = n_tokens · per_tok; floor at 1 so a token-less
+    # class scores neutrally instead of crashing qlog2
+    per_tok = qlog2_py(max(int(tot["t0"] or 0) + v, 1)) - qlog2_py(
+        max(int(tot["t1"] or 0) + v, 1)
+    )
     if broadcast_model:
         model = F.broadcast(model)
     contrib = (
@@ -353,18 +362,13 @@ def nb_scores(
 # tokenize, same integer arithmetic.  ``corpus_sql`` must select
 # (doc_id, text).
 
-_SQL_NORMALIZE = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
-
-
 def sql_lm_core(corpus_sql: str) -> str:
     """Shared CTE block: corpus → words → trans → counts/totals/vocab."""
-    norm = _SQL_NORMALIZE.format(c="text")
     series = "generate_series(1, greatest(len(w) - 1, 0))"
     return f"""
 corpus AS ({corpus_sql}),
 words AS (
-  SELECT doc_id,
-         list_filter(string_split({norm}, ' '), x -> len(x) > 0) AS w
+  SELECT doc_id, {_sql_words('text')} AS w
   FROM corpus
 ),
 trans AS (
@@ -429,7 +433,8 @@ def importance_stats(
         )
         .collect()[0]
     )
-    return int(row["v"]), int(row["tt"]), int(row["tr"])
+    # SUM over an empty token stream is NULL — degenerate corpora are 0
+    return int(row["v"] or 0), int(row["tt"] or 0), int(row["tr"] or 0)
 
 
 def nb_vocab_size(
@@ -443,10 +448,9 @@ def nb_vocab_size(
     )
 
 
+# the canonical tokenize fragment, shared with the textstats oracles
 _SQL_WORDS = (
-    "SELECT doc_id, unnest(list_filter(string_split("
-    + _SQL_NORMALIZE.format(c="text")
-    + ", ' '), x -> len(x) > 0)) AS word FROM {src}"
+    "SELECT doc_id, unnest(" + _sql_words("text") + ") AS word FROM {src}"
 )
 
 
@@ -473,7 +477,7 @@ base AS (
   GROUP BY 1
 )
 SELECT b.doc_id,
-       CAST(b.s + b.n_tokens * ({q('tr + v')} - {q('tt + v')}) AS BIGINT) AS ilr_sum,
+       CAST(b.s + b.n_tokens * ({q('greatest(tr + v, 1)')} - {q('greatest(tt + v, 1)')}) AS BIGINT) AS ilr_sum,
        b.n_tokens
 FROM base b CROSS JOIN vocab CROSS JOIN tots
 """
@@ -514,7 +518,7 @@ base AS (
 )
 SELECT b.doc_id,
        CAST(b.s + ({q('greatest(n1, 1)')} - {q('greatest(n0, 1)')})
-            + b.n_tokens * ({q('t0 + v')} - {q('t1 + v')}) AS BIGINT) AS llr_sum,
+            + b.n_tokens * ({q('greatest(t0 + v, 1)')} - {q('greatest(t1 + v, 1)')}) AS BIGINT) AS llr_sum,
        b.n_tokens
 FROM base b CROSS JOIN pri CROSS JOIN tot CROSS JOIN vocab
 """

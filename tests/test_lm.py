@@ -385,3 +385,19 @@ def test_nb_distills_pipeline_labels(spark):
     baseline = max(agg["pos"] / agg["n"], 1 - agg["pos"] / agg["n"])
     assert acc >= 0.85, (acc, baseline)
     assert acc > baseline + 0.05, (acc, baseline)
+
+
+def test_degenerate_corpora_do_not_crash(spark):
+    """Token-less corpora must score neutrally, not crash qlog2's
+    negative-shift path (the smoothing denominators are floored at 1)."""
+    empty = spark.createDataFrame([(1, None), (2, "")], "doc_id int, text string")
+    v, tt, tr = lm.importance_stats(empty, empty)
+    assert (v, tt, tr) == (0, 0, 0)
+    assert lm.importance_scores(empty, empty, v, tt, tr).count() == 0
+
+    lab = spark.createDataFrame(
+        [(1, None, 1), (2, "", 0)], "doc_id int, text string, label int"
+    )
+    docs = spark.createDataFrame([(3, "some words here")], "doc_id int, text string")
+    out = lm.nb_scores(docs, lab, lm.nb_vocab_size(lab)).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 3

@@ -74,7 +74,9 @@ def test_fluency_property(spark, texts):
 @given(st.lists(st.integers(min_value=1, max_value=10**13),
                 min_size=1, max_size=200))
 def test_qlog2_property(spark, vals):
-    import duckdb
+    import pytest
+
+    duckdb = pytest.importorskip("duckdb")
 
     ref = {m: lm.qlog2_py(m) for m in vals}
     df = spark.createDataFrame([(v,) for v in set(vals)], "m long")
@@ -93,39 +95,16 @@ def test_qlog2_property(spark, vals):
     assert got_duck == ref
 
 
-def _py_bpe(word_counts, n_merges, min_count=2):
-    tok = {w: ([*w[:-1]] + [w[-1] + bpe.EOW]) for w in word_counts}
-    merges = []
-    for _ in range(n_merges):
-        pc = Counter()
-        for w, c in word_counts.items():
-            t = tok[w]
-            for i in range(len(t) - 1):
-                pc[(t[i], t[i + 1])] += c
-        if not pc:
-            break
-        (a, b), c0 = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        if c0 < min_count:
-            break
-        merges.append((a, b))
-        for w, t in tok.items():
-            out = []
-            for x in t:
-                if out and out[-1] == a and x == b:
-                    out[-1] = a + b
-                else:
-                    out.append(x)
-            tok[w] = out
-    return merges
-
-
 @settings(max_examples=3, deadline=None)
 @given(TEXTS)
 def test_bpe_property(spark, texts):
+    # ONE pure-Python BPE reference for the whole suite
+    from tests.test_bpe import _py_bpe
+
     rows = list(enumerate(texts))
     wc = Counter()
     for _, t in rows:
         wc.update(_words_py(t))
-    ref = _py_bpe(wc, 4)
+    ref, _tok = _py_bpe(wc, 4)
     df = spark.createDataFrame(rows, "doc_id int, text string")
     assert bpe.train_bpe(df, 4) == ref
