@@ -299,11 +299,32 @@ def nb_scores(
 
     with add-1 smoothing — llr_sum > 0 ⇒ class 1 (keep).  All BIGINT;
     order-independent; DuckDB-replayable.  Output (doc_id, llr_sum,
-    n_tokens).  Plan: the labeled corpus is tokenized and shuffled
-    exactly ONCE (the model groupBy, then localCheckpoint so neither
-    the totals collect nor the broadcast join recomputes it); priors
-    read the doc-level label column without tokenizing; scoring
-    left-joins the broadcastable (word → c₀,c₁) model, one groupBy."""
+    n_tokens).  Composition of :func:`nb_train` (the labeled corpus is
+    tokenized and shuffled exactly ONCE) and :func:`nb_score`."""
+    model, prior, per_tok = nb_train(
+        labeled, id_col=id_col, text_col=text_col, label_col=label_col,
+        vocab_size=int(vocab_size),
+    )
+    return nb_score(
+        docs, model, prior, per_tok,
+        id_col=id_col, text_col=text_col, broadcast_model=broadcast_model,
+    )
+
+
+def nb_train(
+    labeled: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    vocab_size: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Train the NB model: returns (model, prior, per_tok) where model
+    is the localCheckpointed (word, c1, c0) table and the two ints fold
+    the class priors and smoothing denominators (qlog2-quantized).
+    ``vocab_size`` defaults to the model's row count (= distinct words
+    of the labeled corpus).  The labeled corpus is tokenized and
+    shuffled exactly once; priors read the doc-level label column
+    without tokenizing."""
     lw = _doc_words(labeled, id_col, text_col).join(
         labeled.select(
             F.col(id_col).alias("doc_id"), F.col(label_col).alias("__lbl")
@@ -322,7 +343,7 @@ def nb_scores(
     tot = model.agg(
         F.sum("c1").cast("long").alias("t1"), F.sum("c0").cast("long").alias("t0")
     ).collect()[0]
-    v = int(vocab_size)
+    v = int(vocab_size) if vocab_size is not None else model.count()
     prior = qlog2_py(max(int(agg["n1"] or 0), 1)) - qlog2_py(max(int(agg["n0"] or 0), 1))
     # the smoothing denominators are per-token terms: Σ_w −qlog2(C₁+V)
     # +qlog2(C₀+V) = n_tokens · per_tok; floor at 1 so a token-less
@@ -330,6 +351,22 @@ def nb_scores(
     per_tok = qlog2_py(max(int(tot["t0"] or 0) + v, 1)) - qlog2_py(
         max(int(tot["t1"] or 0) + v, 1)
     )
+    return model, prior, per_tok
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    prior: int,
+    per_tok: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Score documents against a trained (or loaded) NB model — the
+    ingest-time half: the model may come straight from :func:`nb_train`
+    or from parquet via :func:`load_nb_model` (the streaming gate's
+    path).  One broadcast join + one groupBy."""
     if broadcast_model:
         model = F.broadcast(model)
     contrib = (
@@ -338,7 +375,7 @@ def nb_scores(
     )
     return (
         _doc_words(docs, id_col, text_col)
-        .join(model, "word", "left")
+        .join(model.select("word", "c1", "c0"), "word", "left")
         .select("doc_id", F.expr(contrib).alias("__c"))
         .groupBy("doc_id")
         .agg(
@@ -355,6 +392,27 @@ def nb_scores(
             "n_tokens",
         )
     )
+
+
+def save_nb_model(
+    model: DataFrame, prior: int, per_tok: int, path: str
+) -> None:
+    """Persist a trained NB model: (word, c1, c0) parquet plus a 1-row
+    consts table — the offline-train half of the ingest-time gate."""
+    model.select("word", "c1", "c0").write.mode("overwrite").parquet(
+        f"{path}/model"
+    )
+    spark = model.sparkSession
+    spark.createDataFrame(
+        [(int(prior), int(per_tok))], "prior long, per_tok long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/consts")
+
+
+def load_nb_model(spark, path: str) -> tuple[DataFrame, int, int]:
+    """(model, prior, per_tok) back from :func:`save_nb_model`."""
+    model = spark.read.parquet(f"{path}/model")
+    row = spark.read.parquet(f"{path}/consts").collect()[0]
+    return model, int(row["prior"]), int(row["per_tok"])
 
 
 # --- DuckDB oracle twins ---------------------------------------------------

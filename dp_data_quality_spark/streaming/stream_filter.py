@@ -298,3 +298,97 @@ def start_incremental_neardup(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def nb_gate_writer(
+    model_path: str,
+    output_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    llr_threshold: int = 0,
+):
+    """``foreachBatch`` function running the TRAINED-CLASSIFIER gate at
+    ingest: each micro-batch is scored against a persisted Naive-Bayes
+    model (``ops.lm.nb_score`` — the exact operator the batch path
+    runs; model trained offline with ``nb_train``/``save_nb_model``),
+    and docs with llr_sum > ``llr_threshold`` land under an
+    ``ingest_batch=stream-{batch_id}`` partition of
+    ``{output_dir}/kept`` while the rest leave a drop-lineage row
+    (keys + score, no text payload) under ``{output_dir}/dropped``.
+
+    This is the cheap-gate-replaces-expensive-battery deployment the
+    distillation test pins (tests/test_lm.py): label once with the full
+    rule battery, train NB offline, gate the firehose with one
+    broadcast join per micro-batch.  The model loads ONCE when the
+    writer is created (it is a bounded vocabulary-sized table), not per
+    epoch.  Exactly-once per epoch under replay: both sinks dynamically
+    overwrite their own ``ingest_batch`` partition, so a retried epoch
+    reproduces identical state instead of appending duplicates."""
+    from ..ops.lm import load_nb_model, nb_score
+
+    state: dict = {}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not state:
+            model, prior, per_tok = load_nb_model(spark, model_path)
+            state["model"] = model.localCheckpoint()
+            state["prior"], state["per_tok"] = prior, per_tok
+        scored = nb_score(
+            batch_df, state["model"], state["prior"], state["per_tok"],
+            id_col=id_col, text_col=text_col,
+        )
+        tagged = (
+            batch_df.withColumnRenamed(id_col, "doc_id")
+            .join(scored, "doc_id", "left")
+            # docs with no tokens get no score row: they fail the gate
+            .withColumn(
+                "keep",
+                F.coalesce(F.col("llr_sum") > llr_threshold, F.lit(False)),
+            )
+            .withColumn("ingest_batch", F.lit(f"stream-{batch_id}"))
+        )
+        (
+            tagged.filter("keep")
+            .drop("keep")
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{output_dir}/kept")
+        )
+        (
+            tagged.filter("NOT keep")
+            .select("doc_id", "llr_sum", "n_tokens", "ingest_batch")
+            .write.partitionBy("ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{output_dir}/dropped")
+        )
+
+    return _write
+
+
+def start_nb_gate(
+    stream_df: DataFrame,
+    model_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    llr_threshold: int = 0,
+    trigger_seconds: int | None = None,
+):
+    """Wire a document stream → per-epoch NB-classifier gate → kept sink
+    + drop lineage; returns the query."""
+    writer = (
+        stream_df.writeStream.foreachBatch(
+            nb_gate_writer(
+                model_path, output_dir, id_col, text_col, llr_threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -441,3 +441,71 @@ def test_incremental_neardup_stream_parity_and_replay(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(idx).collect()
     ) == [1, 3, 11]
+
+
+def test_nb_gate_stream_parity_and_replay(spark, tmp_path):
+    """Ingest-time trained-classifier gate: per-epoch NB scoring against
+    a persisted model — kept/dropped sets match the batch operator over
+    the same splits, and a rerun from a fresh checkpoint over the same
+    input reproduces identical state (dynamic partition overwrite)."""
+    from dp_data_quality_spark.ops import lm
+    from dp_data_quality_spark.streaming.stream_filter import start_nb_gate
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", 1),
+            (2, "buy cheap pills now now now", 0),
+            (3, "the dog ran in the park", 1),
+            (4, "zz qq xx spam spam", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    model, prior, per_tok = lm.nb_train(labeled)
+    mpath = str(tmp_path / "nb_model")
+    lm.save_nb_model(model, prior, per_tok, mpath)
+
+    ddl = "doc_id long, text string"
+    b1 = [(10, "the cat sat quietly on the mat"), (11, "buy cheap pills now")]
+    b2 = [(12, "the dog sat in the park"), (13, "zz qq spam"), (14, "")]
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(b1, ddl).coalesce(1).write.parquet(inp)
+    stream = spark.readStream.schema(ddl).parquet(inp)
+    q = start_nb_gate(stream, mpath, out, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, ddl).coalesce(1).write.mode("append").parquet(inp)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/kept").collect()}
+    dropped = {r.doc_id for r in spark.read.parquet(f"{out}/dropped").collect()}
+
+    # parity: the batch operator over the union of both batches
+    mdl, pr, pt = lm.load_nb_model(spark, mpath)
+    batch = lm.nb_score(spark.createDataFrame(b1 + b2, ddl), mdl, pr, pt)
+    want_kept = {r.doc_id for r in batch.filter("llr_sum > 0").collect()}
+    assert kept == want_kept
+    # token-less doc 14 has no score row -> fails the gate into lineage
+    assert dropped == ({10, 11, 12, 13, 14} - want_kept)
+    assert 14 in dropped
+
+    # replay: same input from a fresh checkpoint reproduces byte-equal state
+    before = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(f"{out}/kept").collect()
+    )
+    stream2 = spark.readStream.schema(ddl).parquet(inp)
+    q2 = start_nb_gate(stream2, mpath, out, str(tmp_path / "ckpt2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = sorted(
+        (r.doc_id, r.ingest_batch)
+        for r in spark.read.parquet(f"{out}/kept").collect()
+    )
+    # fresh checkpoint sees ALL files as epoch 0: every kept doc lands in
+    # stream-0, old per-epoch partitions overwritten or orphaned-equal;
+    # the kept doc SET must be unchanged
+    assert {d for d, _ in after} == {d for d, _ in before}
