@@ -1325,6 +1325,19 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BPE.bpe_token_counts(docs, merges)
 
 
+DUPSPAN_K = 8
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exactly-duplicated word spans (≥8 words occurring ≥2
+    times corpus-wide, intra-doc repetition included) over the dup
+    corpus — the substring-level dedup signal
+    (`ops/dedup.py:duplicated_spans`)."""
+    _prep(spark)
+    corpus = _dup_corpus(spark, sf_dir)
+    return D.duplicated_spans(corpus, k=DUPSPAN_K)
+
+
 def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics + the in-engine log-domain scorers as
     one tagged panel (tag, key, a, b — all counts BIGINT):
@@ -1340,7 +1353,10 @@ def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
       b = n_tokens);
     - ``nb``         — Naive-Bayes quality-classifier log-posterior
       ratios distilled from the lang='en' label (a = llr_sum,
-      b = n_tokens)."""
+      b = n_tokens);
+    - ``dupspan``    — maximal exactly-duplicated ≥8-word spans
+      (key = doc_id, a = span_start, b = span_len), the
+      substring-level dedup signal."""
     df = q_corpus_ngrams(spark, sf_dir).select(
         F.lit("docfreq").alias("tag"),
         F.col("shingle").alias("key"),
@@ -1388,7 +1404,19 @@ def q_corpus_ngrams_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("llr_sum").alias("a"),
         F.col("n_tokens").alias("b"),
     )
-    return df.unionByName(bg).unionByName(sc).unionByName(iw).unionByName(nb)
+    ds = q_duplicated_spans(spark, sf_dir).select(
+        F.lit("dupspan").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("span_start").alias("a"),
+        F.col("span_len").alias("b"),
+    )
+    return (
+        df.unionByName(bg)
+        .unionByName(sc)
+        .unionByName(iw)
+        .unionByName(nb)
+        .unionByName(ds)
+    )
 
 
 def _sql_corpus_ngrams_panel() -> str:
@@ -1408,6 +1436,10 @@ FROM ({LM.sql_importance_scores(_DUP_CORPUS_SQL, _LM_TARGET_SQL)})
 UNION ALL
 SELECT 'nb' AS tag, CAST(doc_id AS VARCHAR) AS key, llr_sum AS a, n_tokens AS b
 FROM ({LM.sql_nb_scores(_DUP_CORPUS_SQL, _NB_LABELED_SQL)})
+UNION ALL
+SELECT 'dupspan' AS tag, CAST(doc_id AS VARCHAR) AS key,
+       span_start AS a, span_len AS b
+FROM ({D.sql_duplicated_spans(_DUP_CORPUS_SQL, DUPSPAN_K)})
 """
 
 

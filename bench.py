@@ -104,6 +104,7 @@ BENCH_QUERIES_EXTRA = [
     "importance_weights",
     "nb_quality",
     "bpe_tokens",
+    "duplicated_spans",
 ]
 
 

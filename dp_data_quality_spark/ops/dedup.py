@@ -461,3 +461,119 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring spans (suffix-array-style dedup, hashed)
+# ---------------------------------------------------------------------------
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal spans of ≥ ``k`` consecutive words whose every length-k
+    window occurs ≥ ``min_count`` times in the corpus — the exact
+    substring-level dedup signal (the published recipe trains a suffix
+    array; at cluster scale the equivalent is hashed fixed-k windows,
+    which find the identical spans for any duplicated run ≥ k words).
+
+    Output (doc_id, span_start, span_len): 0-based word offset and word
+    length of each maximal duplicated span, including intra-document
+    repetition (a gram occurring twice in ONE doc is duplicated).
+
+    Plan: positions of word k-grams come from the windowed-lead trick
+    (whole-stage codegen, one Exchange on doc_id); grams shuffle as
+    md5 digests, never as text (the signature-table discipline of the
+    other dedup ops — a 2⁻⁶⁴ collision risk traded for constant-width
+    shuffle rows); duplicated grams semi-join back; per-doc
+    gaps-and-islands (two windows over the SAME doc_id Exchange) merge
+    overlapping windows into maximal spans.  No self-join, no
+    cartesian: cost is one corpus shuffle + one digest-table shuffle."""
+    from pyspark.sql import Window
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, k)
+    ]
+    grams = (
+        w.select("doc_id", "pos", *parts)
+        .filter(F.col(f"w{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", *[F.col(f"w{j}") for j in range(k)])).alias(
+                "g"
+            ),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    # gaps-and-islands: window starts p1 < p2 merge when p2 - p1 ≤ k
+    # (their k-word spans overlap or touch)
+    ordered = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") - F.lag("pos", 1).over(ordered) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            ordered.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        )
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+def sql_duplicated_spans(corpus_sql: str, k: int = 8, min_count: int = 2) -> str:
+    """DuckDB replay of ``duplicated_spans`` (0-based positions)."""
+    from .textstats import sql_words as _sql_words
+
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    series = f"generate_series(1, greatest(len(w) - {k} + 1, 0))"
+    return f"""
+WITH corpus AS ({corpus_sql}),
+words AS (SELECT doc_id, {_sql_words('text')} AS w FROM corpus),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform({series}, i -> i - 1)) AS pos,
+         unnest(list_transform({series}, i -> md5({gram}))) AS g
+  FROM words
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {k}
+              THEN 0 ELSE 1 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len
+FROM islands GROUP BY doc_id, island
+"""

@@ -1990,3 +1990,73 @@ def test_multimodal_ppm_header_whitespace_verified():
     # shifts into the raster and the byte count catches the deficit
     with pytest.raises(ValueError, match="truncated"):
         decode_ppm(b"P6\n2 1\n255\r\n" + bytes(4))
+
+
+def test_duplicated_spans_matches_reference_and_twin(spark):
+    """Exact repeated-substring spans: maximal merged spans match a
+    pure-Python sliding-window reference AND the DuckDB twin, including
+    cross-doc runs at different offsets, whole-doc duplicates, and
+    intra-document repetition."""
+    import re
+    from collections import Counter
+
+    import pytest
+
+    from dp_data_quality_spark.ops import dedup as D
+
+    duckdb = pytest.importorskip("duckdb")
+    DOCS = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "xx alpha beta gamma delta epsilon zeta eta theta iota kappa yy"),
+        (3, "one two three four five six seven eight"),
+        (4, "one two three four five six seven eight"),
+        (5, "repeat me " * 8),
+        (6, None),
+        (7, "short text only"),
+    ]
+    K = 8
+
+    def toks(t):
+        if not t:
+            return []
+        return [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
+
+    gram_count = Counter()
+    for _, t in DOCS:
+        ws = toks(t)
+        for p in range(len(ws) - K + 1):
+            gram_count[tuple(ws[p : p + K])] += 1
+    ref = set()
+    for did, t in DOCS:
+        ws = toks(t)
+        hits = [
+            p
+            for p in range(len(ws) - K + 1)
+            if gram_count[tuple(ws[p : p + K])] >= 2
+        ]
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= K:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        ref |= {(did, s, e - s + K) for s, e in spans}
+    assert (1, 0, 10) in ref and (2, 1, 10) in ref and (5, 0, 16) in ref
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"])
+        for r in D.duplicated_spans(df, k=K).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
+    duck = {
+        tuple(r)
+        for r in con.sql(
+            D.sql_duplicated_spans("SELECT doc_id, text FROM docs", k=K)
+        ).fetchall()
+    }
+    assert duck == ref
