@@ -174,19 +174,23 @@ def qlog2_py(m: int, scale: int = QLOG_SCALE) -> int:
 
 
 def qlog2_spark(col_sql: str, scale: int = QLOG_SCALE) -> str:
-    """Spark SQL fragment: quantized log2 of a positive BIGINT expr."""
+    """Spark SQL fragment: quantized log2 of a positive integer expr.
+    The operand is widened to BIGINT inside the fragment — a 32-bit
+    input would otherwise overflow the mantissa product at m ≥ 2²³
+    (hypothesis-caught)."""
     k = f"(length(conv({col_sql}, 10, 2)) - 1)"
     return (
-        f"CAST({scale} * {k} + (({col_sql}) * {scale}) div "
+        f"CAST({scale} * {k} + (CAST(({col_sql}) AS BIGINT) * {scale}) div "
         f"shiftleft(CAST(1 AS BIGINT), {k}) - {scale} AS BIGINT)"
     )
 
 
 def qlog2_duckdb(col_sql: str, scale: int = QLOG_SCALE) -> str:
-    """DuckDB fragment computing the identical value."""
+    """DuckDB fragment computing the identical value (operand widened
+    to BIGINT for the same 32-bit-overflow reason)."""
     k = f"(length(format('{{:b}}', {col_sql})) - 1)"
     return (
-        f"CAST({scale} * {k} + (({col_sql}) * {scale}) // "
+        f"CAST({scale} * {k} + (CAST(({col_sql}) AS BIGINT) * {scale}) // "
         f"(CAST(1 AS BIGINT) << {k}) - {scale} AS BIGINT)"
     )
 

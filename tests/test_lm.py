@@ -229,6 +229,16 @@ def test_qlog2_cross_engine_parity(spark):
     )
     assert got_duck == ref
 
+    # regression: an all-small value list types as INT32 in DuckDB —
+    # the fragment must widen internally, not overflow at m ≥ 2²³
+    small = [2**23, 2**23 + 1, 2**30]
+    got_small = dict(
+        con.sql(
+            f"SELECT m, {lm.qlog2_duckdb('m')} FROM (SELECT unnest({small}) AS m)"
+        ).fetchall()
+    )
+    assert got_small == {m: lm.qlog2_py(m) for m in small}
+
 
 def _qref(m):
     return lm.qlog2_py(m)
