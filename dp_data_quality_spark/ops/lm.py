@@ -53,43 +53,56 @@ SCALE = 1_000_000
 
 
 def word_transitions(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 2,
 ) -> DataFrame:
-    """(doc_id, prefix, token) — every adjacent word pair of the
-    normalized text, multiplicity kept (unlike the dedup shingles,
-    which are per-doc DISTINCT).  posexplode + windowed lead stays in
+    """(doc_id, prefix, token) — every in-order word n-gram of the
+    normalized text split as ((n−1)-word prefix, next word), with
+    multiplicity kept (unlike the dedup shingles, which are per-doc
+    DISTINCT).  ``n=2`` is the bigram default; higher orders
+    space-join the prefix words.  posexplode + windowed lead stays in
     whole-stage codegen; HOF lambdas are interpreted per element
     (measured in ops/dedup.py:_exploded_shingles)."""
+    if n < 2:
+        raise ValueError("word_transitions needs n >= 2")
     words = F.split(normalize_text(F.col(text_col)), " ")
     w = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(words).alias("pos", "word"),
     ).filter(F.length("word") > 0)
     win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word").alias("w0")] + [
+        F.lead("word", j).over(win).alias(f"w{j}") for j in range(1, n)
+    ]
     return (
-        w.select(
+        w.select("doc_id", *parts)
+        .filter(F.col(f"w{n - 1}").isNotNull())
+        .select(
             "doc_id",
-            F.col("word").alias("prefix"),
-            F.lead("word", 1).over(win).alias("token"),
+            F.concat_ws(" ", *[F.col(f"w{j}") for j in range(n - 1)]).alias(
+                "prefix"
+            ),
+            F.col(f"w{n - 1}").alias("token"),
         )
-        .filter(F.col("token").isNotNull())
     )
 
 
 def train_word_lm(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 2,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train a word-bigram conditional-count model over a corpus.
+    """Train a word n-gram conditional-count model over a corpus
+    (``n=2`` bigram default; prefix = the n−1 preceding words).
 
     Returns (counts, totals, vocab):
-      counts — (prefix, token, cnt)        one row per seen bigram
+      counts — (prefix, token, cnt)        one row per seen n-gram
       totals — (prefix, prefix_cnt)        outgoing mass per prefix
       vocab  — 1-row (v)                   distinct words in the corpus
 
     totals and vocab are derived from the reduced counts table / the
     token stream respectively — the corpus itself is shuffled exactly
     once (the counts groupBy, map-side combinable)."""
-    trans = word_transitions(df, id_col, text_col)
+    trans = word_transitions(df, id_col, text_col, n=n)
     counts = trans.groupBy("prefix", "token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -110,17 +123,19 @@ def fluency_scores(
     text_col: str = "text",
     scale: int = SCALE,
     broadcast_model: bool = True,
+    n: int = 2,
 ) -> DataFrame:
-    """Per-document integer fluency score against a trained model.
+    """Per-document integer fluency score against a trained model
+    (``n`` must match the model's training order).
 
     Output (doc_id, inv_sum, n_trans): inv_sum = Σ over the doc's word
     transitions of (scale·(prefix_cnt + V)) div (cnt + 1) — the summed
     scaled inverse of the add-1-smoothed transition probability — and
-    n_trans the transition count.  Docs with < 2 words emit no row.
-    Unseen bigrams hit cnt = 0; unseen prefixes hit prefix_cnt = 0 (the
+    n_trans the transition count.  Docs with < n words emit no row.
+    Unseen n-grams hit cnt = 0; unseen prefixes hit prefix_cnt = 0 (the
     uniform 1/V smoothing floor).  All BIGINT, so parity with the
     DuckDB twin is exact."""
-    trans = word_transitions(df, id_col, text_col)
+    trans = word_transitions(df, id_col, text_col, n=n)
     c = counts.select("prefix", "token", "cnt")
     t = totals.select("prefix", "prefix_cnt")
     if broadcast_model:
@@ -424,9 +439,12 @@ def load_nb_model(spark, path: str) -> tuple[DataFrame, int, int]:
 # tokenize, same integer arithmetic.  ``corpus_sql`` must select
 # (doc_id, text).
 
-def sql_lm_core(corpus_sql: str) -> str:
-    """Shared CTE block: corpus → words → trans → counts/totals/vocab."""
-    series = "generate_series(1, greatest(len(w) - 1, 0))"
+def sql_lm_core(corpus_sql: str, n: int = 2) -> str:
+    """Shared CTE block: corpus → words → trans → counts/totals/vocab
+    (``n`` = model order; prefix = the n−1 preceding words, matching
+    ``word_transitions``)."""
+    series = f"generate_series(1, greatest(len(w) - {n - 1}, 0))"
+    prefix = " || ' ' || ".join(f"w[i + {j}]" for j in range(n - 1))
     return f"""
 corpus AS ({corpus_sql}),
 words AS (
@@ -435,8 +453,8 @@ words AS (
 ),
 trans AS (
   SELECT doc_id,
-         unnest(list_transform({series}, i -> w[i])) AS prefix,
-         unnest(list_transform({series}, i -> w[i + 1])) AS token
+         unnest(list_transform({series}, i -> {prefix})) AS prefix,
+         unnest(list_transform({series}, i -> w[i + {n - 1}])) AS token
   FROM words
 ),
 counts AS (
@@ -453,11 +471,11 @@ vocab AS (
 )"""
 
 
-def sql_fluency_scores(corpus_sql: str, scale: int = SCALE) -> str:
+def sql_fluency_scores(corpus_sql: str, scale: int = SCALE, n: int = 2) -> str:
     """(doc_id, inv_sum, n_trans) — the DuckDB replay of
     ``fluency_scores`` with the model trained on the same corpus."""
     return f"""
-WITH {sql_lm_core(corpus_sql)}
+WITH {sql_lm_core(corpus_sql, n=n)}
 SELECT t.doc_id,
        CAST(SUM((CAST({int(scale)} AS BIGINT) * (COALESCE(tt.prefix_cnt, 0) + v.v))
                 // (COALESCE(c.cnt, 0) + 1)) AS BIGINT) AS inv_sum,

@@ -411,3 +411,52 @@ def test_degenerate_corpora_do_not_crash(spark):
     docs = spark.createDataFrame([(3, "some words here")], "doc_id int, text string")
     out = lm.nb_scores(docs, lab, lm.nb_vocab_size(lab)).collect()
     assert len(out) == 1 and out[0]["n_tokens"] == 3
+
+
+def test_trigram_lm_matches_reference_and_twin(spark, docs_df):
+    """Order generalization: the n=3 model (2-word prefixes) matches a
+    pure-Python reference and the DuckDB twin — pinning that prefix
+    construction, counting and scoring all respect the order."""
+    duckdb = pytest.importorskip("duckdb")
+    N = 3
+    cnt, tot, vocab = Counter(), Counter(), set()
+    for _, t in DOCS:
+        ws = _toks(t)
+        vocab.update(ws)
+        for i in range(len(ws) - N + 1):
+            p = " ".join(ws[i : i + N - 1])
+            cnt[(p, ws[i + N - 1])] += 1
+            tot[p] += 1
+    v = len(vocab)
+    ref = {}
+    for did, t in DOCS:
+        ws = _toks(t)
+        if len(ws) < N:
+            continue
+        s = 0
+        for i in range(len(ws) - N + 1):
+            p = " ".join(ws[i : i + N - 1])
+            s += (lm.SCALE * (tot.get(p, 0) + v)) // (
+                cnt.get((p, ws[i + N - 1]), 0) + 1
+            )
+        ref[did] = (s, len(ws) - N + 1)
+
+    counts, totals, vdf = lm.train_word_lm(docs_df, n=N)
+    got = {
+        r["doc_id"]: (r["inv_sum"], r["n_trans"])
+        for r in lm.fluency_scores(
+            docs_df, counts, totals, v, n=N
+        ).collect()
+    }
+    assert got == ref
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            lm.sql_fluency_scores("SELECT doc_id, text FROM docs", n=N)
+        ).fetchall()
+    }
+    assert duck == ref
